@@ -1,0 +1,113 @@
+"""Conformance tests for the langtag kernel.
+
+Golden vectors from the reference suite (langtag/langtag_test.go:687-815):
+RFC 5646 Appendix A well-formedness, §4.5 canonicalization, extlang form.
+"""
+
+import pytest
+
+from trident_spark.kernels import langtag as L
+
+PARSE_OK = [
+    ("de", "de"),
+    ("en-US", "en-US"),
+    ("sr-Latn-RS", "sr-Latn-RS"),
+    ("MN-cYRL-mn", "mn-Cyrl-MN"),
+    ("de-CH-x-phonebk", "de-CH-x-phonebk"),
+    ("x-whatever", "x-whatever"),
+    ("i-klingon", "i-klingon"),
+    ("art-lojban", "art-lojban"),
+    ("en-a-myext-b-another", "en-a-myext-b-another"),
+    ("zz-US", "zz-US"),
+    ("en-Zzzz-US", "en-Zzzz-US"),
+    ("de-DE-1901-1901", "de-DE-1901-1901"),
+    ("en-a-foo-a-bar", "en-a-foo-a-bar"),
+]
+
+PARSE_ERR = [
+    ("en_US", L.ERR_FORBIDDEN_CHAR),
+    ("en--US", L.ERR_EMPTY_SUBTAG),
+    ("verylongsubtag-en", L.ERR_SUBTAG_TOO_LONG),
+    ("x-", L.ERR_EMPTY_PRIVATE_USE),
+    ("en-a-", L.ERR_EMPTY_EXTENSION),
+    ("en-a-b-foo", L.ERR_EMPTY_EXTENSION),
+]
+
+NORMALIZE_OK = [
+    ("zh-min-nan", "nan"),
+    ("art-lojban", "jbo"),
+    ("i-klingon", "tlh"),
+    ("i-enochian", "i-enochian"),
+    ("en-BU", "en-MM"),
+    ("zh-gan", "gan"),
+    ("en-b-ccc-a-aaa", "en-a-aaa-b-ccc"),
+    ("is-Latn", "is"),
+    ("SR-LATN-rs", "sr-Latn-RS"),
+]
+
+NORMALIZE_ERR = [
+    ("zz-US", L.ERR_INVALID_LANGUAGE),
+    ("en-BOGUS", L.ERR_INVALID_SUBTAG),
+    ("de-419-DE", L.ERR_INVALID_SUBTAG),
+    ("de-DE-1901-1901", L.ERR_DUPLICATE_VARIANT),
+    ("ar-a-aaa-b-bbb-a-ccc", L.ERR_DUPLICATE_SINGLETON),
+    ("zh-gan-gan", L.ERR_TOO_MANY_EXTLANGS),
+]
+
+EXTLANG_FORM = [
+    ("hak-CN", "zh-hak-CN"),
+    ("yue", "zh-yue"),
+    ("en-US", "en-US"),
+]
+
+
+@pytest.mark.parametrize("tag,want", PARSE_OK)
+def test_parse_ok(tag, want):
+    assert L.parse(tag).tag == want
+
+
+@pytest.mark.parametrize("tag,code", PARSE_ERR)
+def test_parse_err(tag, code):
+    with pytest.raises(L.LangTagError) as ei:
+        L.parse(tag)
+    assert ei.value.code == code
+
+
+@pytest.mark.parametrize("tag,want", NORMALIZE_OK)
+def test_normalize_ok(tag, want):
+    assert L.normalize(tag).tag == want
+
+
+@pytest.mark.parametrize("tag,code", NORMALIZE_ERR)
+def test_normalize_err(tag, code):
+    with pytest.raises(L.LangTagError) as ei:
+        L.normalize(tag)
+    assert ei.value.code == code
+
+
+@pytest.mark.parametrize("tag,want", EXTLANG_FORM)
+def test_to_extlang_form(tag, want):
+    assert L.to_extlang_form(tag).tag == want
+
+
+def test_grandfathered_flag():
+    assert L.parse("i-klingon").is_grandfathered
+    assert L.normalize("i-enochian").is_grandfathered
+    assert not L.normalize("i-klingon").is_grandfathered  # replaced by tlh
+
+
+def test_fields_decomposition():
+    t = L.parse("sr-Latn-RS-fonipa-a-ext1-x-priv")
+    assert t.language == "sr"
+    assert t.script == "Latn"
+    assert t.region == "RS"
+    assert t.variants == ("fonipa",)
+    assert t.extensions == (("a", "ext1"),)
+    assert t.private_use == ("priv",)
+
+
+def test_registry_loaded_once():
+    r1 = L.load_registry()
+    r2 = L.load_registry()
+    assert r1 is r2
+    assert len(r1) > 9000
