@@ -1,0 +1,91 @@
+"""The reference's golden vectors re-expressed as DataFrame assertions:
+build a DataFrame of (input, expected), run the Arrow-batched kernel UDF,
+assert zero mismatching rows (SURVEY.md §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_iri_kernel import (
+    ABNORMAL_RESOLUTION,
+    BASE,
+    NORMAL_RESOLUTION,
+    NORMALIZE_CASES,
+    TO_URI_CASES,
+)
+from tests.test_langtag_kernel import NORMALIZE_OK, PARSE_OK
+from trident_spark.functions.iri_funcs import (
+    iri_normalize,
+    iri_parse,
+    iri_resolve,
+    iri_to_uri,
+)
+from trident_spark.functions.langtag_funcs import langtag_normalize, langtag_parse
+
+
+def test_iri_resolve_df(spark):
+    rows = [(BASE, rel, exp) for rel, exp in
+            {**NORMAL_RESOLUTION, **ABNORMAL_RESOLUTION}.items()]
+    df = spark.createDataFrame(rows, "base string, rel string, expected string")
+    out = df.withColumn("r", iri_resolve("base", "rel"))
+    bad = out.where(
+        F.col("r.error").isNotNull() | (F.col("r.value") != F.col("expected"))
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_iri_normalize_df(spark):
+    rows = [(i, e) for i, e in NORMALIZE_CASES if i]
+    df = spark.createDataFrame(rows, "input string, expected string")
+    out = df.withColumn("r", iri_normalize("input"))
+    bad = out.where(F.col("r.value") != F.col("expected"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_iri_to_uri_df(spark):
+    df = spark.createDataFrame(TO_URI_CASES, "input string, expected string")
+    out = df.withColumn("r", iri_to_uri("input"))
+    bad = out.where(F.col("r.value") != F.col("expected"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_iri_parse_components_df(spark):
+    df = spark.createDataFrame(
+        [("foo://example.com:8042/over/there?name=ferret#nose",)], "iri string"
+    )
+    row = df.select(iri_parse("iri").alias("p")).first()["p"]
+    assert row["scheme"] == "foo"
+    assert row["authority"] == "example.com:8042"
+    assert row["path"] == "/over/there"
+    assert row["query"] == "name=ferret"
+    assert row["fragment"] == "nose"
+    assert row["is_absolute"] is True
+    assert row["error"] is None
+
+
+def test_iri_parse_error_row(spark):
+    df = spark.createDataFrame([("http://example.com/%GG",), ("http://ok.com/a",)],
+                               "iri string")
+    rows = {r["iri"]: r["p"] for r in df.select("iri", iri_parse("iri").alias("p")).collect()}
+    assert rows["http://example.com/%GG"]["error"] is not None
+    assert rows["http://ok.com/a"]["error"] is None
+
+
+@pytest.mark.parametrize("udf,cases", [
+    (langtag_parse, PARSE_OK),
+    (langtag_normalize, NORMALIZE_OK),
+])
+def test_langtag_df(spark, udf, cases):
+    df = spark.createDataFrame(cases, "tag string, expected string")
+    out = df.withColumn("r", udf("tag"))
+    bad = out.where(
+        F.col("r.error").isNotNull() | (F.col("r.tag") != F.col("expected"))
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_langtag_error_codes(spark):
+    df = spark.createDataFrame([("en_US",), ("zz-US",)], "tag string")
+    rows = {r["tag"]: r["r"] for r in
+            df.select("tag", langtag_normalize("tag").alias("r")).collect()}
+    assert rows["en_US"]["error"] == "ErrForbiddenChar"
+    assert rows["zz-US"]["error"] == "ErrInvalidLanguage"

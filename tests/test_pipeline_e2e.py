@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests on the deterministic synthetic corpus:
+P/R vs independently-derived golden triples, text invariant, N-Triples
+round-trip, skolemization determinism, connected components, resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trident_spark.pipeline import build_kg
+from trident_spark.pipeline import cc, extract_stage, kg, lineage, sinks
+from trident_spark.pipeline.alias_dict import alias_dict_df
+from trident_spark.pipeline.pages import expected_triples_df, pages_df
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = pages_df(spark, N_PAGES, partitions=4).cache()
+    expected = expected_triples_df(spark, N_PAGES, partitions=4).cache()
+    pages.count(), expected.count()
+    return pages, expected
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    pages, _ = corpus
+    return build_kg(pages, alias_dict=alias_dict_df(spark))
+
+
+def test_text_invariant(result):
+    assert extract_stage.text_invariant_violations(result.page_results).count() == 0
+
+
+def test_precision_recall(corpus, result):
+    _, expected = corpus
+    key = ["subj", "pred", "obj_lexical", "obj_kind"]
+    got = (
+        result.skolemized
+        .where(F.col("source") != "linking")  # golden covers extraction only
+        .where(~F.col("subj").startswith(kg.SKOLEM_PREFIX))
+        .where(F.col("obj_kind") != "blank")
+        .select(*key).distinct()
+    )
+    exp = expected.select(*key).distinct()
+    n_got, n_exp = got.count(), exp.count()
+    n_match = got.join(exp, key).count()
+    precision = n_match / n_got
+    recall = n_match / n_exp
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_latest_capture_wins(spark, corpus):
+    pages, _ = corpus
+    deduped = extract_stage.latest_capture(pages)
+    assert deduped.groupBy("url").count().where("count > 1").count() == 0
+    assert deduped.count() < pages.count()  # some urls repeat by design
+
+
+def test_skolemization_deterministic(spark, corpus):
+    pages, _ = corpus
+    r1 = kg.skolemize(extract_stage.raw_triples(extract_stage.extract_pages(pages)))
+    r2 = kg.skolemize(extract_stage.raw_triples(extract_stage.extract_pages(pages)))
+    assert r1.exceptAll(r2).count() == 0
+    assert r2.exceptAll(r1).count() == 0
+    # no unskolemized blank labels survive
+    assert r1.where(F.col("subj").startswith("_:")).count() == 0
+    assert r1.where(F.col("obj_kind") == "blank").count() == 0
+
+
+def test_term_ids_no_collisions(result):
+    assert kg.assert_no_id_collisions(result.terms) == 0
+
+
+def test_triples_reference_terms(result):
+    # every id in triples resolves in the term table (pre-CC ids rewritten to
+    # component minima are also term ids because components are term nodes)
+    ids = (
+        result.triples.select(F.col("subj_id").alias("id"))
+        .union(result.triples.select("pred_id"))
+        .union(result.triples.select("obj_id"))
+        .distinct()
+    )
+    missing = ids.join(result.terms, ids.id == result.terms.term_id, "left_anti")
+    assert missing.count() == 0
+
+
+def test_entity_linking_links_orgs(result):
+    links = result.same_as.where(F.col("obj_lexical").contains("/org/"))
+    assert links.count() > 0
+    # ambiguous aliases resolved to exactly one candidate per mention
+    dup = result.same_as.groupBy("subj", "obj_lexical").count()
+    assert dup.where("count > 1").count() == 0
+
+
+def test_connected_components_small_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    labels = {r["node"]: r["component"]
+              for r in cc.connected_components(edges).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+
+
+def test_ntriples_roundtrip(result):
+    nt = sinks.to_ntriples(result.skolemized)
+    back = sinks.from_ntriples(nt)
+    cols = ["subj", "pred", "obj_lexical", "obj_kind", "obj_datatype", "obj_lang"]
+    orig = result.skolemized.select(*cols).distinct()
+    rt = back.select(*cols).distinct()
+    assert orig.exceptAll(rt).count() == 0, "triples lost in round-trip"
+    assert rt.exceptAll(orig).count() == 0, "triples gained in round-trip"
+
+
+def test_lineage_resume(spark, corpus):
+    pages, _ = corpus
+    lin = lineage.compute_lineage(pages.limit(100), "extract", n_buckets=16)
+    assert lin.count() <= 16
+    remaining = lineage.resume_filter(pages, lin, "extract", n_buckets=16)
+    # all buckets appear in the first 100 pages with high probability → most
+    # pages filtered; at minimum the filter is a strict subset
+    assert remaining.count() < pages.count()
+    done_buckets = {r["bucket"] for r in lin.collect()}
+    left = lineage.with_bucket(remaining, 16).select("bucket").distinct().collect()
+    assert all(r["bucket"] not in done_buckets for r in left)

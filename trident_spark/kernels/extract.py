@@ -1,0 +1,629 @@
+"""Structured-data extraction kernel: HTML bytes → candidate RDF triples.
+
+Implements the per-page semantics the north-star pipeline needs (the
+reference defines the *term* model — iri/langtag — but no extractors; these
+generalize its README RDF model, README.md:52-121, to Common-Crawl pages):
+
+- JSON-LD   — ``<script type="application/ld+json">`` blocks, pragmatic
+              expansion: @context prefix/vocab maps, @id/@type/@value/
+              @language/@list nesting, schema.org default vocab.
+- RDFa      — vocab/prefix/about/resource/property/typeof/content/datatype.
+- Microdata — itemscope/itemtype/itemprop/itemid trees (schema.org style).
+- SVO       — deterministic rule-based subject–verb–object triples over the
+              extracted text (no ML dependency: reproducibility first).
+
+Pure Python, Spark-free: called batch-at-a-time from mapInPandas (see
+trident_spark.pipeline.extract_stage).  One DOM parse (stdlib html.parser)
+feeds all three structured extractors plus text extraction, so the invariant
+"extracted text is byte-identical per url" is checked against the same tree.
+
+Triples are emitted with IRIs resolved against the page base (honouring
+``<base href>``) and normalized through the RFC 3987 kernel; blank nodes get
+deterministic per-page labels (``_:b<N>``) and are skolemized later in pure
+Spark SQL (url+warc_ts hash — see pipeline.kg).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+from typing import NamedTuple
+
+from trident_spark.kernels import iri as K
+
+__all__ = ["RawTriple", "extract_page", "extract_text", "parse_html"]
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_DOUBLE = XSD + "double"
+XSD_BOOLEAN = XSD + "boolean"
+SCHEMA_ORG = "https://schema.org/"
+
+# predicate namespace for rule-based open-text SVO triples
+SVO_NS = "https://trident-spark.dev/svo/"
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_NON_TEXT_TAGS = frozenset(("script", "style", "template", "noscript"))
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol table tr td th section article header "
+    "footer nav aside main blockquote pre br hr figure figcaption dl dt dd "
+    "form fieldset address details summary".split()
+)
+
+
+class RawTriple(NamedTuple):
+    subj: str  # IRI or _:bN
+    pred: str  # IRI
+    obj_lexical: str
+    obj_kind: str  # 'iri' | 'literal' | 'blank'
+    obj_datatype: str | None
+    obj_lang: str | None
+    source: str  # 'jsonld' | 'rdfa' | 'microdata' | 'svo'
+
+
+# ---------------------------------------------------------------------------
+# Minimal DOM
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    """Element node; ``children`` holds Nodes and raw text strings in
+    document order, so text extraction preserves reading order."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict, parent: "Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Node | str] = []
+        self.parent = parent
+
+    def own_text(self) -> str:
+        """Direct text content only (e.g. a <script> payload)."""
+        return "".join(c for c in self.children if isinstance(c, str))
+
+    def text(self) -> str:
+        """Concatenated descendant text (excluding script/style)."""
+        out: list[str] = []
+        self._collect_text(out)
+        return "".join(out)
+
+    def _collect_text(self, out: list[str]) -> None:
+        if self.tag in _NON_TEXT_TAGS:
+            return
+        # every element boundary separates words; the final text is
+        # whitespace-normalized, so extra separators collapse
+        out.append(" ")
+        for ch in self.children:
+            if isinstance(ch, str):
+                out.append(ch)
+            else:
+                ch._collect_text(out)
+        out.append(" ")
+
+    def iter(self):
+        yield self
+        for ch in self.children:
+            if not isinstance(ch, str):
+                yield from ch.iter()
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        if tag not in _VOID_TAGS:
+            self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(Node(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open ancestor (lenient recovery)
+        n = self.cur
+        while n is not self.root:
+            if n.tag == tag:
+                self.cur = n.parent
+                return
+            n = n.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+
+def parse_html(html: bytes | str) -> Node:
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    tb = _TreeBuilder()
+    tb.feed(html)
+    tb.close()
+    return tb.root
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text(root: Node) -> str:
+    """Whitespace-normalized visible text of the page body."""
+    return _WS_RE.sub(" ", root.text()).strip()
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+
+class _Ctx:
+    """Per-page extraction context: base resolution + blank-node labels."""
+
+    def __init__(self, base_url: str):
+        self.bnode_counter = 0
+        self._norm_cache: dict[str, str | None] = {}
+        try:
+            self.base = K.parse_ref(base_url)
+        except K.IRIError:
+            self.base = None
+
+    def set_base(self, href: str) -> None:
+        if self.base is not None:
+            try:
+                self.base = K.resolve(self.base, href)
+            except K.IRIError:
+                pass
+
+    def new_bnode(self) -> str:
+        self.bnode_counter += 1
+        return f"_:b{self.bnode_counter}"
+
+    def to_iri(self, ref: str) -> str | None:
+        """Resolve against page base + normalize; None if invalid."""
+        hit = self._norm_cache.get(ref, "")
+        if hit != "":
+            return hit
+        try:
+            if self.base is not None:
+                resolved = K.resolve(self.base, ref).iri
+            else:
+                resolved = K.parse_iri(ref).iri
+            value = K.normalize(resolved)
+        except K.IRIError:
+            value = None
+        self._norm_cache[ref] = value
+        return value
+
+
+def _expand_term(term: str, vocab: str | None, prefixes: dict[str, str],
+                 ctx: _Ctx) -> str | None:
+    """Expand a JSON-LD/RDFa term: CURIE → IRI, bare term → vocab IRI."""
+    if not term or term.startswith("@"):
+        return None
+    if ":" in term:
+        pfx, _, local = term.partition(":")
+        if pfx in prefixes:
+            return ctx.to_iri(prefixes[pfx] + local)
+        if "//" in term or pfx in ("http", "https", "urn", "mailto", "ftp"):
+            return ctx.to_iri(term)
+        # unknown prefix: fall through to vocab
+    if vocab:
+        return ctx.to_iri(vocab + term)
+    return None
+
+
+def _literal_of(value) -> tuple[str, str | None]:
+    """Map a JSON scalar to (lexical, datatype)."""
+    if isinstance(value, bool):
+        return ("true" if value else "false", XSD_BOOLEAN)
+    if isinstance(value, int):
+        return (str(value), XSD_INTEGER)
+    if isinstance(value, float):
+        return (repr(value), XSD_DOUBLE)
+    return (str(value), None)  # plain string literal (xsd:string implied)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD
+# ---------------------------------------------------------------------------
+
+
+def _jsonld_context(ctx_value, vocab: str | None, prefixes: dict[str, str]):
+    """Fold a @context value into (vocab, prefixes); pragmatic subset."""
+    prefixes = dict(prefixes)
+    if isinstance(ctx_value, str):
+        base = ctx_value.rstrip("/#") + "/"
+        if "schema.org" in ctx_value:
+            vocab = SCHEMA_ORG
+        else:
+            vocab = base
+    elif isinstance(ctx_value, dict):
+        for k, v in ctx_value.items():
+            if k == "@vocab" and isinstance(v, str):
+                vocab = v
+            elif isinstance(v, str) and not k.startswith("@"):
+                prefixes[k] = v
+    elif isinstance(ctx_value, list):
+        for item in ctx_value:
+            vocab, prefixes = _jsonld_context(item, vocab, prefixes)
+    return vocab, prefixes
+
+
+def _jsonld_node(node: dict, ctx: _Ctx, vocab, prefixes,
+                 out: list[RawTriple]) -> tuple[str, str] | None:
+    """Emit triples for one JSON-LD node; return (id, kind) of the node."""
+    if "@context" in node:
+        vocab, prefixes = _jsonld_context(node["@context"], vocab, prefixes)
+
+    if "@value" in node:
+        return None  # value object — handled by caller
+
+    if "@graph" in node:
+        for item in _as_list(node["@graph"]):
+            if isinstance(item, dict):
+                _jsonld_node(item, ctx, vocab, prefixes, out)
+        if len(node) <= 2:  # only @context/@graph
+            return None
+
+    node_id = node.get("@id")
+    if isinstance(node_id, str) and not node_id.startswith("_:"):
+        subj = ctx.to_iri(node_id)
+        kind = "iri"
+        if subj is None:
+            subj, kind = ctx.new_bnode(), "blank"
+    elif isinstance(node_id, str):
+        subj, kind = node_id, "blank"
+    else:
+        subj, kind = ctx.new_bnode(), "blank"
+
+    for t in _as_list(node.get("@type")):
+        if isinstance(t, str):
+            t_iri = _expand_term(t, vocab, prefixes, ctx)
+            if t_iri:
+                out.append(RawTriple(subj, RDF_TYPE, t_iri, "iri", None, None, "jsonld"))
+
+    for key, raw in node.items():
+        if key.startswith("@"):
+            continue
+        pred = _expand_term(key, vocab, prefixes, ctx)
+        if pred is None:
+            continue
+        for value in _as_list(raw):
+            _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out)
+    return subj, kind
+
+
+def _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out) -> None:
+    if isinstance(value, dict):
+        if "@list" in value:
+            for item in _as_list(value["@list"]):
+                _jsonld_value(subj, pred, item, ctx, vocab, prefixes, out)
+            return
+        if "@value" in value:
+            lex, dt = _literal_of(value["@value"])
+            vdt = value.get("@type")
+            if isinstance(vdt, str):
+                dt = _expand_term(vdt, vocab, prefixes, ctx) or dt
+            lang = value.get("@language")
+            out.append(RawTriple(subj, pred, lex, "literal", dt,
+                                 lang if isinstance(lang, str) else None, "jsonld"))
+            return
+        ref = _jsonld_node(value, ctx, vocab, prefixes, out)
+        if ref is not None:
+            oid, okind = ref
+            out.append(RawTriple(subj, pred, oid, okind, None, None, "jsonld"))
+        return
+    if isinstance(value, str):
+        # heuristic: URL-shaped strings referencing resources stay literals in
+        # JSON-LD unless the term is @type:@id — pragmatic choice: literal.
+        lex, dt = value, None
+        out.append(RawTriple(subj, pred, lex, "literal", dt, None, "jsonld"))
+        return
+    if value is None:
+        return
+    lex, dt = _literal_of(value)
+    out.append(RawTriple(subj, pred, lex, "literal", dt, None, "jsonld"))
+
+
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _extract_jsonld(root: Node, ctx: _Ctx, out: list[RawTriple]) -> None:
+    for node in root.iter():
+        if (
+            node.tag == "script"
+            and node.attrs.get("type", "").strip().lower() == "application/ld+json"
+        ):
+            payload = node.own_text().strip()
+            if not payload:
+                continue
+            try:
+                data = json.loads(payload)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            for item in _as_list(data):
+                if isinstance(item, dict):
+                    _jsonld_node(item, ctx, SCHEMA_ORG, {}, out)
+
+
+# ---------------------------------------------------------------------------
+# RDFa (pragmatic subset: RDFa Lite)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PREFIXES = {
+    "schema": SCHEMA_ORG,
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": XSD,
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dc": "http://purl.org/dc/terms/",
+    "og": "https://ogp.me/ns#",
+}
+
+
+def _parse_prefix_attr(s: str, prefixes: dict) -> dict:
+    prefixes = dict(prefixes)
+    toks = s.split()
+    for i in range(0, len(toks) - 1, 2):
+        if toks[i].endswith(":"):
+            prefixes[toks[i][:-1]] = toks[i + 1]
+    return prefixes
+
+
+def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
+               prefixes: dict, ctx: _Ctx, out: list[RawTriple],
+               subj_kind: str) -> None:
+    a = node.attrs
+    if "vocab" in a and a["vocab"]:
+        vocab = a["vocab"]
+    if "prefix" in a and a["prefix"]:
+        prefixes = _parse_prefix_attr(a["prefix"], prefixes)
+
+    new_subj, new_kind = subj, subj_kind
+    if "about" in a:
+        s = ctx.to_iri(a["about"])
+        if s is not None:
+            new_subj, new_kind = s, "iri"
+
+    typeof = a.get("typeof")
+    prop = a.get("property")
+
+    if typeof and "about" not in a and prop is None:
+        # typeof without about mints a new subject (blank or from resource)
+        if "resource" in a:
+            r = ctx.to_iri(a["resource"])
+            new_subj, new_kind = (r, "iri") if r else (ctx.new_bnode(), "blank")
+        else:
+            new_subj, new_kind = ctx.new_bnode(), "blank"
+
+    if typeof and new_subj is not None:
+        for t in typeof.split():
+            t_iri = _expand_term(t, vocab, prefixes, ctx)
+            if t_iri:
+                out.append(RawTriple(new_subj, RDF_TYPE, t_iri, "iri", None, None, "rdfa"))
+
+    if prop and subj is not None:
+        for p in prop.split():
+            pred = _expand_term(p, vocab, prefixes, ctx)
+            if pred is None:
+                continue
+            if typeof and "about" not in a:
+                # property + typeof: object is the newly minted node
+                out.append(RawTriple(subj, pred, new_subj, new_kind, None, None, "rdfa"))
+            elif "resource" in a or "href" in a or "src" in a:
+                ref = a.get("resource") or a.get("href") or a.get("src")
+                o = ctx.to_iri(ref) if ref else None
+                if o is not None:
+                    out.append(RawTriple(subj, pred, o, "iri", None, None, "rdfa"))
+            else:
+                content = a.get("content")
+                lex = content if content is not None else _WS_RE.sub(" ", node.text()).strip()
+                dt = None
+                if a.get("datatype"):
+                    dt = _expand_term(a["datatype"], vocab, prefixes, ctx)
+                lang = a.get("lang") or a.get("xml:lang")
+                out.append(RawTriple(subj, pred, lex, "literal", dt, lang, "rdfa"))
+
+    for ch in node.children:
+        if not isinstance(ch, str):
+            _rdfa_walk(ch, new_subj, vocab, prefixes, ctx, out, new_kind)
+
+
+def _extract_rdfa(root: Node, ctx: _Ctx, base_subj: str | None,
+                  out: list[RawTriple]) -> None:
+    _rdfa_walk(root, base_subj, None, _DEFAULT_PREFIXES, ctx, out, "iri")
+
+
+# ---------------------------------------------------------------------------
+# Microdata
+# ---------------------------------------------------------------------------
+
+
+def _microdata_value(node: Node, ctx: _Ctx) -> tuple[str, str, str | None]:
+    """(lexical, kind, datatype) for an itemprop element without itemscope."""
+    a = node.attrs
+    tag = node.tag
+    if tag in ("a", "area", "link") and a.get("href"):
+        o = ctx.to_iri(a["href"])
+        if o:
+            return o, "iri", None
+    if tag in ("img", "audio", "video", "embed", "iframe", "source", "track") and a.get("src"):
+        o = ctx.to_iri(a["src"])
+        if o:
+            return o, "iri", None
+    if tag == "meta" and a.get("content") is not None:
+        return a["content"], "literal", None
+    if tag in ("data", "meter") and a.get("value") is not None:
+        return a["value"], "literal", None
+    if tag == "time" and a.get("datetime"):
+        return a["datetime"], "literal", XSD + "dateTime"
+    if a.get("content") is not None:
+        return a["content"], "literal", None
+    return _WS_RE.sub(" ", node.text()).strip(), "literal", None
+
+
+def _microdata_item(node: Node, ctx: _Ctx, out: list[RawTriple]) -> tuple[str, str]:
+    a = node.attrs
+    itemid = a.get("itemid")
+    if itemid:
+        s = ctx.to_iri(itemid)
+        subj, kind = (s, "iri") if s else (ctx.new_bnode(), "blank")
+    else:
+        subj, kind = ctx.new_bnode(), "blank"
+
+    itemtype = a.get("itemtype", "")
+    vocab = SCHEMA_ORG
+    for t in itemtype.split():
+        t_iri = ctx.to_iri(t)
+        if t_iri:
+            out.append(RawTriple(subj, RDF_TYPE, t_iri, "iri", None, None, "microdata"))
+            vocab = t_iri.rsplit("/", 1)[0] + "/"
+
+    def walk(n: Node) -> None:
+        for ch in n.children:
+            if isinstance(ch, str):
+                continue
+            cha = ch.attrs
+            if "itemprop" in cha:
+                for prop in cha["itemprop"].split():
+                    pred = ctx.to_iri(prop) if ":" in prop and "//" in prop else (
+                        ctx.to_iri(vocab + prop)
+                    )
+                    if pred is None:
+                        continue
+                    if "itemscope" in cha:
+                        osubj, okind = _microdata_item(ch, ctx, out)
+                        out.append(RawTriple(subj, pred, osubj, okind, None, None, "microdata"))
+                    else:
+                        lex, okind, dt = _microdata_value(ch, ctx)
+                        if lex:
+                            out.append(RawTriple(subj, pred, lex, okind, dt, None, "microdata"))
+            if "itemscope" not in ch.attrs or "itemprop" not in ch.attrs:
+                if "itemscope" in ch.attrs and "itemprop" not in ch.attrs:
+                    continue  # independent top-level item handled elsewhere
+                walk(ch)
+
+    walk(node)
+    return subj, kind
+
+
+def _extract_microdata(root: Node, ctx: _Ctx, out: list[RawTriple]) -> None:
+    def find_top(n: Node) -> None:
+        for ch in n.children:
+            if isinstance(ch, str):
+                continue
+            if "itemscope" in ch.attrs and "itemprop" not in ch.attrs:
+                _microdata_item(ch, ctx, out)
+            else:
+                find_top(ch)
+
+    find_top(root)
+
+
+# ---------------------------------------------------------------------------
+# Open-text SVO (deterministic rule-based chunker)
+# ---------------------------------------------------------------------------
+
+_SVO_PATTERNS = [
+    # "X is a Y" / "X was an Y" → is_a
+    (re.compile(
+        r"\b([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4}) "
+        r"(?:is|was|are|were) (?:a|an|the) "
+        r"([a-z][a-z \-]{2,40}?)(?=[.,;:]| and | that | which | who )"),
+     SVO_NS + "is_a"),
+    # "X works for Y" / "X worked at Y"
+    (re.compile(
+        r"\b([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4}) "
+        r"(?:works?|worked) (?:for|at) "
+        r"([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4})"),
+     SVO_NS + "works_for"),
+    # "X was born in Y"
+    (re.compile(
+        r"\b([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4}) "
+        r"was born in "
+        r"([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4})"),
+     SVO_NS + "born_in"),
+    # "X is located in Y" / "X is based in Y"
+    (re.compile(
+        r"\b([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4}) "
+        r"(?:is|was) (?:located|based|headquartered) in "
+        r"([A-Z][A-Za-z0-9'’\-]*(?: [A-Z][A-Za-z0-9'’\-]*){0,4})"),
+     SVO_NS + "located_in"),
+]
+
+
+def extract_svo(text: str) -> list[tuple[str, str, str]]:
+    """Deterministic (subject, predicate, object) mentions from plain text."""
+    found = []
+    for pattern, pred in _SVO_PATTERNS:
+        for m in pattern.finditer(text):
+            found.append((m.group(1).strip(), pred, m.group(2).strip()))
+    return found
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+
+def extract_page(
+    html: bytes | str,
+    url: str,
+    do_jsonld: bool = True,
+    do_rdfa: bool = True,
+    do_microdata: bool = True,
+    do_svo: bool = True,
+) -> tuple[list[RawTriple], str, str | None]:
+    """Extract all candidate triples from one page.
+
+    Returns (triples, extracted_text, error).  Never raises: a malformed page
+    yields ([], "", message).
+    """
+    try:
+        root = parse_html(html)
+    except Exception as e:  # noqa: BLE001 — defensive: html.parser edge cases
+        return [], "", f"html parse error: {e}"
+
+    ctx = _Ctx(url)
+    # honour <base href>
+    for node in root.iter():
+        if node.tag == "base" and node.attrs.get("href"):
+            ctx.set_base(node.attrs["href"])
+            break
+
+    page_subj = ctx.to_iri("") if ctx.base is not None else None
+
+    out: list[RawTriple] = []
+    if do_jsonld:
+        _extract_jsonld(root, ctx, out)
+    if do_rdfa:
+        _extract_rdfa(root, ctx, page_subj, out)
+    if do_microdata:
+        _extract_microdata(root, ctx, out)
+
+    text = extract_text(root)
+    if do_svo and text:
+        for s, p, o in extract_svo(text):
+            out.append(RawTriple(
+                SVO_NS + "mention/" + _mention_slug(s), p, o, "literal",
+                None, None, "svo"))
+
+    return out, text, None
+
+
+_SLUG_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _mention_slug(s: str) -> str:
+    return _SLUG_RE.sub("-", s.lower()).strip("-")

@@ -1,0 +1,62 @@
+"""End-to-end KG build: pages → (terms, triples, same_as, lineage).
+
+The one-call orchestrator used by tests, bench and __spark_entry__.
+Every stage returns DataFrames; nothing is collected driver-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from trident_spark.pipeline import cc, extract_stage, kg, linking
+
+
+@dataclass
+class KGResult:
+    page_results: DataFrame  # per-page status (text_ok, page_error)
+    skolemized: DataFrame  # lexical triples after skolemization
+    same_as: DataFrame  # entity-linking edges
+    terms: DataFrame  # dictionary-encoded term table
+    triples: DataFrame  # deduped (subj_id, pred_id, obj_id) edges
+    labels: DataFrame | None  # connected-component labels
+
+
+def build_kg(
+    pages: DataFrame,
+    alias_dict: DataFrame | None = None,
+    canonicalize: bool = True,
+    dedup_latest_capture: bool = True,
+) -> KGResult:
+    if dedup_latest_capture:
+        pages = extract_stage.latest_capture(pages)
+
+    page_results = extract_stage.extract_pages(pages)
+    raw = extract_stage.raw_triples(page_results)
+    skolemized = kg.skolemize(raw)
+
+    same_as = None
+    labels = None
+    if alias_dict is not None:
+        same_as = linking.link_entities(skolemized, alias_dict)
+        # sameAs assertions are triples too: union them in so the canonical
+        # KB IRIs become dictionary terms before CC rewrites edge ids
+        skolemized = skolemized.unionByName(linking.same_as_triples(same_as))
+        if canonicalize:
+            edges = linking.same_as_id_edges(same_as)
+            labels = cc.connected_components(edges)
+
+    terms, triples = kg.encode_triples(skolemized)
+    if labels is not None:
+        triples = cc.rewrite_triples(triples, labels)
+    triples = kg.dedup_triples(triples)
+
+    return KGResult(
+        page_results=page_results,
+        skolemized=skolemized,
+        same_as=same_as,
+        terms=terms,
+        triples=triples,
+        labels=labels,
+    )

@@ -1,0 +1,117 @@
+"""N-Triples serialization/parsing as DataFrame transforms.
+
+N-Triples first (not Turtle): line-oriented → embarrassingly partitionable,
+each row serializes independently with zero shuffle (the Turtle analogue
+needs a groupBy(subject)).  Escaping and term rendering are pure Catalyst
+expressions; only non-ASCII IRIs fall back to the iri_to_uri kernel UDF
+(rare on real crawls, guarded by a rlike predicate so the Arrow hop happens
+for the tail, not the bulk).
+
+The parser inverts the writer, giving the round-trip conformance suite
+(serialize → parse → identical term set) required by the north star.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from trident_spark.functions.iri_funcs import iri_to_uri
+
+_NON_ASCII = "[^\\x00-\\x7F]"
+
+
+def _escape_literal(col):
+    # N-Triples string escapes: \ " \n \r \t  (order matters: backslash first)
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def _render_iri(col):
+    """<iri>, converting IRIs to URIs only when non-ASCII chars exist."""
+    needs_conv = col.rlike(_NON_ASCII)
+    converted = F.when(needs_conv, iri_to_uri(col)["value"]).otherwise(col)
+    return F.concat(F.lit("<"), converted, F.lit(">"))
+
+
+def _render_object():
+    obj = F.col("obj_lexical")
+    lit = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
+    lit_lang = F.concat(lit, F.lit("@"), F.col("obj_lang"))
+    lit_dt = F.concat(lit, F.lit("^^"), _render_iri(F.col("obj_datatype")))
+    return (
+        F.when(F.col("obj_kind") == "iri", _render_iri(obj))
+        .when(F.col("obj_lang").isNotNull(), lit_lang)
+        .when(F.col("obj_datatype").isNotNull(), lit_dt)
+        .otherwise(lit)
+    )
+
+
+def to_ntriples(skolemized: DataFrame) -> DataFrame:
+    """Skolemized lexical triples → one N-Triples line per row."""
+    return skolemized.select(
+        F.concat_ws(
+            " ",
+            _render_iri(F.col("subj")),
+            _render_iri(F.col("pred")),
+            _render_object(),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parser (round-trip oracle)
+# ---------------------------------------------------------------------------
+
+_NT_LINE = re.compile(
+    r"^<(?P<s>[^>]*)> <(?P<p>[^>]*)> "
+    r"(?:<(?P<o_iri>[^>]*)>"
+    r'|"(?P<o_lit>(?:[^"\\]|\\.)*)"'
+    r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)"
+    r" \.$"
+)
+
+_UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
+
+
+def parse_ntriples_line(line: str):
+    """One N-Triples line → (subj, pred, obj_lexical, obj_kind, dt, lang)."""
+    m = _NT_LINE.match(line.strip())
+    if not m:
+        return None
+    if m.group("o_iri") is not None:
+        return (m.group("s"), m.group("p"), m.group("o_iri"), "iri", None, None)
+    raw = m.group("o_lit")
+    lex = _UNESCAPE_RE.sub(lambda mm: _UNESCAPE[mm.group(0)], raw)
+    return (m.group("s"), m.group("p"), lex, "literal", m.group("dt"), m.group("lang"))
+
+
+NT_PARSED_SCHEMA = (
+    "subj string, pred string, obj_lexical string, obj_kind string, "
+    "obj_datatype string, obj_lang string"
+)
+
+
+def from_ntriples(lines: DataFrame) -> DataFrame:
+    """lines(line string) → parsed triples (malformed lines dropped)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = [r for r in (parse_ntriples_line(l) for l in pdf["line"]) if r]
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "pred", "obj_lexical", "obj_kind",
+                         "obj_datatype", "obj_lang"],
+            )
+
+    return lines.mapInPandas(run, NT_PARSED_SCHEMA)
