@@ -1,0 +1,184 @@
+"""Tests for dedup / similarity / textstats / multimodal operators.
+
+Approximate methods (MinHash-LSH, SimHash, hyperplane LSH) are verified
+against their exact counterparts on corpora with planted near-duplicates.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from trident_spark.operators import dedup, multimodal, similarity, textstats
+
+VOCAB = ("spark shuffle partition join hash sort merge scan filter agg "
+         "window broadcast skew salt codegen arrow batch column row "
+         "parquet iceberg stream state watermark trigger").split()
+
+
+def _mk_docs(spark, n=60, seed=3):
+    """Docs with planted near-duplicate pairs: doc 3k+1 is a light edit of
+    doc 3k; doc 3k+2 is unrelated."""
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    while len(rows) < n:
+        base = [rng.choice(VOCAB) for _ in range(40)]
+        rows.append((i, " ".join(base)))
+        edited = list(base)
+        edited[5] = rng.choice(VOCAB)
+        edited[17] = rng.choice(VOCAB)
+        rows.append((i + 1, " ".join(edited)))
+        rows.append((i + 2, " ".join(rng.choice(VOCAB) for _ in range(40))))
+        i += 3
+    return spark.createDataFrame(rows[:n], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return _mk_docs(spark).cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["is_dup"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    planted = {(i, i + 1) for i in range(0, 60, 3)}
+    assert planted <= pairs
+    # unrelated docs don't pair at this threshold
+    assert all((a % 3, b - a) == (0, 1) for a, b in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           dedup.minhash_lsh_pairs(docs, n_hashes=64, bands=16,
+                                   shingle=3, threshold=0.5).collect()}
+    assert lsh <= exact  # verification step kills false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall}"
+
+
+def test_minhash_signatures_deterministic(docs):
+    s1 = {r["id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    s2 = {r["id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    assert s1 == s2
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["a"], r["b"]) for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    planted = {(i, i + 1) for i in range(0, 60, 3)}
+    found = len(pairs & planted) / len(planted)
+    assert found >= 0.9, f"simhash found only {found:.2f} of planted pairs"
+
+
+def _mk_embeddings(spark, n=200, dim=16, seed=5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim))
+    # plant near-dups: vector i+1 = vector i + tiny noise for i % 10 == 0
+    for i in range(0, n - 1, 10):
+        base[i + 1] = base[i] + rng.standard_normal(dim) * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return _mk_embeddings(spark).cache()
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    query = [r["embedding"] for r in embeddings.where("vec_id = 0").collect()][0]
+    top = similarity.cosine_topk(embeddings, [float(x) for x in query], k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == 1.0
+    assert top[1]["vec_id"] == 1  # planted near-dup
+
+def test_lsh_topk_contains_true_neighbors(spark, embeddings):
+    query = [float(x) for x in
+             embeddings.where("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(embeddings, query, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.lsh_bucket_topk(embeddings, query, k=5, n_bits=6,
+                                         probes=4).collect()]
+    # top-1 (the vector itself) and its planted twin must survive bucketing
+    assert exact[0] in approx
+    assert exact[1] in approx
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    exact_pairs = {(r["a"], r["b"]) for r in
+                   similarity.embedding_near_dup_pairs(
+                       embeddings, threshold=0.99, use_lsh=False).collect()}
+    planted = {(i, i + 1) for i in range(0, 199, 10)}
+    assert planted <= exact_pairs
+    lsh_pairs = {(r["a"], r["b"]) for r in
+                 similarity.embedding_near_dup_pairs(
+                     embeddings, threshold=0.99, use_lsh=True, dim=16,
+                     n_bits=4).collect()}
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs & planted) / len(planted) >= 0.8
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a bb  ccc")], "doc_id long, text string")
+    r = textstats.token_count(df).first()
+    assert r["n_tokens"] == 3 and r["n_chars"] == 9 and r["n_subword_est"] == 2
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog in the park."),
+         (2, "ALL CAPS!!! $$$ ###")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.quality_features(df).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[1]["stopword_ratio"] > 0
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is warm"),
+         (2, "der Hund ist nicht mit der Katze und das ist gut"),
+         (3, "le chat est dans la maison et il est content"),
+         (4, "el perro es grande y la casa es pequeña en la ciudad"),
+         (5, "这是一个中文句子用来测试语言识别功能")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in textstats.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media_df(spark, n=30)
+    feats = multimodal.extract_features(media, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["decode_error"] is None for r in rows)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in
+             multimodal.extract_features(media, feature_dim=16).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+    stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert stats == {"image": 10, "audio": 10, "video": 10}
