@@ -54,22 +54,6 @@ VALUE_ERROR_SCHEMA = StructType(
     [StructField("value", StringType()), StructField("error", StringType())]
 )
 
-# Already-normalized fast path: lowercase scheme+host, no percent-encoding,
-# no dot segments, no default port, pure-ASCII safe chars, non-empty path.
-_FAST_NORMALIZED = re.compile(
-    r"^[a-z][a-z0-9+.\-]*://"  # scheme
-    r"[a-z0-9\-]+(?:\.[a-z0-9\-]+)*"  # host (no userinfo, no port, no %)
-    r"/[A-Za-z0-9_.~!$&'()*+,;=:@/\-]*"  # path, ASCII, no %
-    r"(?:\?[A-Za-z0-9_.~!$&'()*+,;=:@/?\-]*)?"  # query
-    r"(?:#[A-Za-z0-9_.~!$&'()*+,;=:@/?\-]*)?$"  # fragment
-)
-_DOT_SEG = re.compile(r"/\.\.?(?:/|$)")
-
-
-def _fast_normalized(s: str) -> bool:
-    return bool(_FAST_NORMALIZED.match(s)) and not _DOT_SEG.search(s)
-
-
 def _map_unique(ser: pd.Series, fn) -> pd.DataFrame:
     """Apply fn once per distinct value; fn returns a tuple of outputs."""
     uniq = ser.dropna().unique()
@@ -114,9 +98,7 @@ def _value_error_udf(fn):
     return pandas_udf(VALUE_ERROR_SCHEMA)(batch)
 
 
-iri_normalize = _value_error_udf(
-    lambda v: v if _fast_normalized(v) else K.normalize(v)
-)
+iri_normalize = _value_error_udf(K.normalize)  # kernel has its own fast path
 iri_normalize.__doc__ = "Canonical IRI per RFC 3986 §6.2 (kernel A15-A17)."
 
 iri_to_uri = _value_error_udf(K.iri_to_uri)

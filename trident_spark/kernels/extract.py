@@ -164,6 +164,13 @@ def extract_text(root: Node) -> str:
 # ---------------------------------------------------------------------------
 
 
+# absolute references normalize independently of the page base, and the same
+# vocabulary/type IRIs repeat across every page → one process-wide cache
+_ABS_IRI_CACHE: dict[str, str | None] = {}
+_ABS_IRI_CACHE_MAX = 200_000
+_SCHEME_PREFIX_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 class _Ctx:
     """Per-page extraction context: base resolution + blank-node labels."""
 
@@ -188,6 +195,18 @@ class _Ctx:
 
     def to_iri(self, ref: str) -> str | None:
         """Resolve against page base + normalize; None if invalid."""
+        if _SCHEME_PREFIX_RE.match(ref):
+            # absolute: result is base-independent → process-wide cache
+            hit = _ABS_IRI_CACHE.get(ref, "")
+            if hit != "":
+                return hit
+            try:
+                value = K.normalize(ref)  # string fast path inside
+            except K.IRIError:
+                value = None
+            if len(_ABS_IRI_CACHE) < _ABS_IRI_CACHE_MAX:
+                _ABS_IRI_CACHE[ref] = value
+            return value
         hit = self._norm_cache.get(ref, "")
         if hit != "":
             return hit

@@ -303,6 +303,39 @@ class ParsedRef(NamedTuple):
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*$")
 
+# Fast path: an entirely-safe ASCII IRI reference (no %, no lax chars, no
+# bidi) whose components can be located by simple splitting — skips the
+# per-character validation walk.  Hot web URLs overwhelmingly match this.
+_FAST_SAFE = re.compile(
+    r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*):)?"
+    r"(?P<auth>//(?:[A-Za-z0-9._~!$&'()*+,;=\-]*@)?"
+    r"[A-Za-z0-9._~!$&'()*+,;=\-]*(?::[0-9]*)?)?"
+    r"(?P<path>[A-Za-z0-9._~!$&'()*+,;=:@/\-]*)"
+    r"(?:\?(?P<query>[A-Za-z0-9._~!$&'()*+,;=:@/?\-]*))?"
+    r"(?:#(?P<frag>[A-Za-z0-9._~!$&'()*+,;=:@/?\-]*))?$"
+)
+
+
+def _fast_parse(s: str) -> ParsedRef | None:
+    m = _FAST_SAFE.match(s)
+    if m is None:
+        return None
+    scheme, auth, path = m.group("scheme"), m.group("auth"), m.group("path")
+    query, frag = m.group("query"), m.group("frag")
+    if scheme is None:
+        # relative: first segment must not contain ':' (RFC 3986 §4.2)
+        if auth is None and ":" in path.split("/", 1)[0]:
+            return None
+    if auth is None and "//" in path:
+        return None
+    if auth is None and scheme is not None and path.startswith("//"):
+        return None
+    scheme_end = len(scheme) + 1 if scheme else 0
+    authority_end = scheme_end + len(auth) if auth else scheme_end
+    path_end = authority_end + len(path)
+    query_end = path_end + 1 + len(query) if query is not None else path_end
+    return ParsedRef(s, Positions(scheme_end, authority_end, path_end, query_end))
+
 
 def _split_at(s: str, chars: str) -> tuple[str, str]:
     """Split s at the first occurrence of any char in *chars* → (head, rest)."""
@@ -352,6 +385,10 @@ def parse_ref(s: str, nfc: bool = False) -> ParsedRef:
     """
     if nfc:
         s = unicodedata.normalize("NFC", s)
+
+    fast = _fast_parse(s)
+    if fast is not None:
+        return fast
 
     out: list[str] = []
 
@@ -657,6 +694,17 @@ def _host_to_unicode(host: str) -> str:
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
 
+# Already-normalized fast path: lowercase scheme+host, no userinfo/port/%,
+# no dot segments, non-empty path, safe ASCII chars only.
+_FAST_NORMALIZED = re.compile(
+    r"^[a-z][a-z0-9+.\-]*://"
+    r"[a-z0-9\-]+(?:\.[a-z0-9\-]+)*"
+    r"/[A-Za-z0-9_.~!$&'()*+,;=:@/\-]*"
+    r"(?:\?[A-Za-z0-9_.~!$&'()*+,;=:@/?\-]*)?"
+    r"(?:#[A-Za-z0-9_.~!$&'()*+,;=:@/?\-]*)?$"
+)
+_DOT_SEG_RE = re.compile(r"/\.\.?(?:/|$)")
+
 _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
 
 
@@ -678,6 +726,9 @@ def normalize(s: str | ParsedRef) -> str:
     removes dot segments, adds ``/`` for an empty path when an authority is
     present, drops default ports, and NFC-normalizes the result.
     """
+    if isinstance(s, str) and _FAST_NORMALIZED.match(s) and not _DOT_SEG_RE.search(s):
+        return s  # already canonical — the common case on real crawls
+
     ref = s if isinstance(s, ParsedRef) else parse_ref(s)
     if not ref.iri:
         return ""

@@ -36,21 +36,21 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 
     def run(iterator):
         for pdf in iterator:
-            rows = []
-            for url, warc_ts, html, text in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"]
-            ):
+            errs, oks, triples_col = [], [], []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 triples, extracted, err = extract_page(html, url)
-                rows.append(
-                    {
-                        "url": url,
-                        "warc_ts": warc_ts,
-                        "page_error": err,
-                        "text_ok": extracted == text,
-                        "triples": [tuple(t) for t in triples],
-                    }
-                )
-            yield pd.DataFrame(rows)
+                errs.append(err)
+                oks.append(extracted == text)
+                triples_col.append(triples)  # NamedTuples — Arrow-compatible
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "page_error": errs,
+                    "text_ok": oks,
+                    "triples": triples_col,
+                }
+            )
 
     cols = ["url", "warc_ts", "html", "text"]
     return pages.select(*cols).mapInPandas(run, PAGE_RESULT_SCHEMA)
@@ -71,13 +71,19 @@ def text_invariant_violations(page_results: DataFrame) -> DataFrame:
     return page_results.where(~F.col("text_ok")).select("url", "warc_ts")
 
 
-def latest_capture(pages: DataFrame) -> DataFrame:
-    """Keep only the most recent warc_ts per url (C20 as-of window)."""
+def latest_capture(df: DataFrame) -> DataFrame:
+    """Keep only the most recent warc_ts per url (C20 as-of window).
+
+    Scale note: apply this AFTER extraction (on narrow per-page rows), not
+    on the raw pages table — a window over pages would shuffle every html
+    blob across the cluster; post-extraction it only moves url + triples.
+    build_kg orders it that way.
+    """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     return (
-        pages.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )

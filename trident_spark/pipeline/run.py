@@ -28,13 +28,22 @@ def build_kg(
     alias_dict: DataFrame | None = None,
     canonicalize: bool = True,
     dedup_latest_capture: bool = True,
+    persist_intermediate: bool = True,
 ) -> KGResult:
-    if dedup_latest_capture:
-        pages = extract_stage.latest_capture(pages)
-
     page_results = extract_stage.extract_pages(pages)
+    if dedup_latest_capture:
+        # after extraction: the window shuffles narrow rows (url, ts,
+        # triples), never the html blobs — the decision that matters at 100TB
+        page_results = extract_stage.latest_capture(page_results)
     raw = extract_stage.raw_triples(page_results)
     skolemized = kg.skolemize(raw)
+    if persist_intermediate:
+        # extraction (the expensive Arrow hop) feeds linking, CC and encoding;
+        # materialize it once.  On a production run this boundary is a table
+        # write (lineage stage output), not an in-memory persist.
+        from pyspark import StorageLevel
+
+        skolemized = skolemized.persist(StorageLevel.MEMORY_AND_DISK)
 
     same_as = None
     labels = None
