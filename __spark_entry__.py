@@ -73,12 +73,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _values_sql(rows: list[tuple[str, str]], cols: tuple[str, str]) -> str:
+def _values_sql(rows: list[tuple], cols: tuple) -> str:
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
-    values = ", ".join(f"({q(a)}, {q(b)})" for a, b in rows)
-    return f"SELECT * FROM (VALUES {values}) AS t({cols[0]}, {cols[1]})"
+    values = ", ".join("(" + ", ".join(q(v) for v in row) + ")" for row in rows)
+    return f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})"
 
 
 def _iri_resolve_vectors():
@@ -137,6 +137,49 @@ def q_langtag_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.createDataFrame([(t,) for t, _ in _langtag_vectors()], "tag string")
     return df.select("tag", langtag_normalize("tag")["tag"].alias("canonical"))
+
+
+def _uri_to_iri_vectors():
+    from tests.test_iri_kernel import FROM_URI_CASES
+
+    return [(u, e) for u, e, err in FROM_URI_CASES if not err]
+
+
+def q_uri_to_iri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trident_spark.functions.iri_funcs import uri_to_iri
+
+    df = spark.createDataFrame([(u,) for u, _ in _uri_to_iri_vectors()], "input string")
+    return df.select("input", uri_to_iri("input")["value"].alias("iri"))
+
+
+def _relativize_vectors():
+    from tests.test_iri_kernel import RELATIVIZE_CASES
+
+    return list(RELATIVIZE_CASES)
+
+
+def q_iri_relativize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trident_spark.functions.iri_funcs import iri_relativize
+
+    df = spark.createDataFrame(
+        [(b, t) for b, t, _ in _relativize_vectors()], "base string, target string"
+    )
+    return df.select(
+        "base", "target", iri_relativize("base", "target")["value"].alias("rel")
+    )
+
+
+def _langtag_parse_vectors():
+    from tests.test_langtag_kernel import PARSE_OK
+
+    return list(PARSE_OK)
+
+
+def q_langtag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trident_spark.functions.langtag_funcs import langtag_parse
+
+    df = spark.createDataFrame([(t,) for t, _ in _langtag_parse_vectors()], "tag string")
+    return df.select("tag", langtag_parse("tag")["tag"].alias("wellformed"))
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +616,47 @@ FROM s GROUP BY user_id, session_id
 # ---------------------------------------------------------------------------
 
 
+def q_kg_top_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-connected subjects of the doc KG (C18 top-k)."""
+    from trident_spark.pipeline.diff import top_hubs
+
+    return top_hubs(_distinct_triples(spark, sf_dir), k=10)
+
+
+_KG_TOP_HUBS_ORACLE = f"""
+SELECT '{DOC_BASE}/doc/' || doc_id AS subj, 5 AS degree
+FROM documents ORDER BY subj ASC LIMIT 10
+"""
+
+
+def q_events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (C16) — must equal a plain groupBy."""
+    from trident_spark.pipeline.skew import salted_count
+
+    return salted_count(_read(spark, sf_dir, "events"), ["event_type"], n_salt=32)
+
+
+_EVENTS_SALTED_ORACLE = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+def q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (C19): triples removed when dropping half the corpus."""
+    from trident_spark.pipeline.diff import triple_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    from trident_spark.pipeline import extract_stage, kg
+    from trident_spark.pipeline.docs_to_pages import docs_to_pages
+
+    def triples_of(d):
+        pages = docs_to_pages(d)
+        return kg.skolemize(
+            extract_stage.raw_triples(extract_stage.extract_pages(pages))
+        )
+
+    return triple_diff(triples_of(half), triples_of(docs))
+
+
 def q_kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline incl. linking + connected components on the synthetic
     web corpus (pages synthesized deterministically per north rule)."""
@@ -601,12 +685,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iri_resolve_rfc3986": q_iri_resolve,
         "iri_normalize_rfc3986": q_iri_normalize,
         "iri_to_uri_rfc3987": q_iri_to_uri,
+        "uri_to_iri_rfc3987": q_uri_to_iri,
+        "iri_relativize": q_iri_relativize,
         "langtag_normalize_rfc5646": q_langtag_normalize,
+        "langtag_parse_rfc5646": q_langtag_parse,
         "kg_doc_triples": q_kg_doc_triples,
         "kg_predicate_stats": q_kg_predicate_stats,
         "kg_bgp_provider": q_kg_bgp_provider,
         "kg_text_invariant": q_kg_text_invariant,
+        "kg_top_hubs": q_kg_top_hubs,
+        "kg_triple_diff": q_kg_triple_diff,
         "kg_full_pipeline": q_kg_full_pipeline,
+        "events_salted_counts": q_events_salted_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -632,7 +722,12 @@ def oracle_sql() -> dict[str, str]:
         "iri_resolve_rfc3986": _values_sql(_iri_resolve_vectors(), ("rel", "resolved")),
         "iri_normalize_rfc3986": _values_sql(_iri_normalize_vectors(), ("input", "normalized")),
         "iri_to_uri_rfc3987": _values_sql(_iri_to_uri_vectors(), ("input", "uri")),
+        "uri_to_iri_rfc3987": _values_sql(_uri_to_iri_vectors(), ("input", "iri")),
+        "iri_relativize": _values_sql(_relativize_vectors(), ("base", "target", "rel")),
         "langtag_normalize_rfc5646": _values_sql(_langtag_vectors(), ("tag", "canonical")),
+        "langtag_parse_rfc5646": _values_sql(_langtag_parse_vectors(), ("tag", "wellformed")),
+        "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
+        "events_salted_counts": _EVENTS_SALTED_ORACLE,
         "kg_doc_triples": _KG_TRIPLES_ORACLE,
         "kg_predicate_stats": _KG_PRED_STATS_ORACLE,
         "kg_bgp_provider": _KG_BGP_ORACLE,

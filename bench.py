@@ -85,20 +85,28 @@ def scale_run(cpus: int, pages_path: str, n_pages: int) -> None:
         app_name=f"bench-scale-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        # identical split plan at every level, ~4 files per split
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
     )
     # warmup: JVM + python worker pool
-    spark.read.parquet(pages_path).limit(64).count()
     extraction_warm = spark.read.parquet(pages_path).limit(256)
     from trident_spark.pipeline import build_kg
 
     build_kg(extraction_warm, alias_dict=None, canonicalize=False,
              persist_intermediate=False).triples.count()
-    t0 = time.monotonic()
-    n = extraction_run(spark, pages_path)
-    elapsed = time.monotonic() - t0
+    runs = []
+    n = 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        n = extraction_run(spark, pages_path)
+        runs.append(time.monotonic() - t0)
+    elapsed = sorted(runs)[1]  # median of 3
     print(json.dumps({"cpus": cpus, "pages": n_pages, "triples": n,
-                      "elapsed_sec": round(elapsed, 3)}))
+                      "elapsed_sec": round(elapsed, 3),
+                      "runs": [round(r, 3) for r in runs]}))
     spark.stop()
 
 

@@ -117,33 +117,91 @@ def lsh_bucket_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     )
 
 
+def _near_dup_blocked(embeddings: DataFrame, threshold: float,
+                      vec_col: str, id_col: str, n_blocks: int) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked GEMM.
+
+    Rows are grouped into ~n_blocks dense numpy matrices (one row per block
+    after applyInPandas); the (n_blocks²)/2 block pairs each compute one
+    matrix product — orders of magnitude cheaper than materializing the
+    quadratic pair rows through Catalyst expressions, and block size bounds
+    executor memory at any corpus size."""
+    import pandas as pd
+
+    norm = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["v"].to_numpy())
+        return pd.DataFrame(
+            {"blk": [int(key[0])], "ids": [pdf["id"].tolist()],
+             "mat": [mat.ravel().tolist()], "dim": [mat.shape[1]]}
+        )
+
+    packed = norm.groupBy("blk").applyInPandas(
+        pack, "blk int, ids array<long>, mat array<double>, dim int"
+    )
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                      F.col("mat").alias("mat_a"), "dim")
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                      F.col("mat").alias("mat_b"))
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def emit(iterator):
+        for pdf in iterator:
+            rows_a, rows_b, cos = [], [], []
+            for ids_a, mat_a, dim, ids_b, mat_b, same in zip(
+                pdf["ids_a"], pdf["mat_a"], pdf["dim"], pdf["ids_b"],
+                pdf["mat_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ma = np.asarray(mat_a).reshape(len(ids_a), dim)
+                mb = np.asarray(mat_b).reshape(len(ids_b), dim)
+                sims = ma @ mb.T
+                ia, ib = np.where(sims >= threshold)
+                ids_a_arr = np.asarray(ids_a)
+                ids_b_arr = np.asarray(ids_b)
+                for x, y in zip(ia, ib):
+                    p, q = int(ids_a_arr[x]), int(ids_b_arr[y])
+                    if p == q or (same and p > q):
+                        # same-block matrices contain both (x,y) and (y,x);
+                        # cross-block pairs appear once, in either id order
+                        continue
+                    rows_a.append(min(p, q))
+                    rows_b.append(max(p, q))
+                    cos.append(round(float(sims[x, y]), 4))
+            yield pd.DataFrame({"a": rows_a, "b": rows_b, "cosine": cos})
+
+    return block_pairs.mapInPandas(emit, "a long, b long, cosine double")
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              use_lsh: bool = True, n_bits: int = 8, seed: int = 11,
                              vec_col: str = "embedding", id_col: str = "vec_id",
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None, n_blocks: int = 32) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold.
 
     use_lsh=True joins on the LSH bucket first (same-bucket candidates only —
-    the 100 TB path; slightly lossy for pairs straddling a hyperplane).
-    use_lsh=False is the exact quadratic verifier/oracle.
+    the sub-quadratic 100 TB path; slightly lossy for pairs straddling a
+    hyperplane).  use_lsh=False is exact: blocked-GEMM all-pairs.
     """
+    if not use_lsh:
+        return _near_dup_blocked(embeddings, threshold, vec_col, id_col, n_blocks)
+
+    if dim is None:
+        raise ValueError("dim required when use_lsh=True")
     norm = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias("v"),
     )
-    if use_lsh:
-        if dim is None:
-            raise ValueError("dim required when use_lsh=True")
-        sigs = hyperplane_signatures(
-            norm.withColumnRenamed("v", vec_col), dim, n_bits, seed, vec_col
-        ).withColumnRenamed(vec_col, "v")
-        a = sigs.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-        b = sigs.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-        cands = a.join(b, "bucket").where(F.col("a") < F.col("b"))
-    else:
-        a = norm.select(F.col("id").alias("a"), F.col("v").alias("va"))
-        b = norm.select(F.col("id").alias("b"), F.col("v").alias("vb"))
-        cands = a.join(b, F.col("a") < F.col("b"))
+    sigs = hyperplane_signatures(
+        norm.withColumnRenamed("v", vec_col), dim, n_bits, seed, vec_col
+    ).withColumnRenamed(vec_col, "v")
+    a = sigs.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = sigs.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    cands = a.join(b, "bucket").where(F.col("a") < F.col("b"))
     return (
         cands.withColumn("cosine", F.round(_dot(F.col("va"), F.col("vb")), 4))
         .where(F.col("cosine") >= threshold)

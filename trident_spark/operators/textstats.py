@@ -111,4 +111,8 @@ def _lang_id_udf(texts: pd.Series) -> pd.Series:
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Heuristic language-ID (stopword profiles + CJK ratio), one Arrow hop."""
-    return docs.select(id_col, _lang_id_udf(F.col(text_col)).alias("predicted_lang"))
+    from trident_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
+        id_col, _lang_id_udf(F.col(text_col)).alias("predicted_lang")
+    )

@@ -67,6 +67,8 @@ def docs_to_pages(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text", "lang", "source", "n_chars").mapInPandas(
-        run, PAGES_SCHEMA
-    )
+    from trident_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+    ).mapInPandas(run, PAGES_SCHEMA)
