@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (north rule):
+
+    # package the library
+    python scripts/package.py                      # → dist/trident_spark.zip
+
+    # run at N executors
+    spark-submit --py-files dist/trident_spark.zip \\
+        --master yarn --num-executors 250 --executor-cores 4 \\
+        scripts/run_pipeline.py \\
+        --input  s3://corpus/pages/          \\
+        --output s3://kg/run1/               \\
+        --resume                              # anti-join completed buckets
+
+    # re-run at 4N executors with the same input for the scaling datapoint
+    spark-submit ... --num-executors 1000 ...
+
+Sandbox usage (local[N] stand-in):
+
+    python scripts/run_pipeline.py --synthetic 10000 --output /tmp/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic pages instead of reading input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip buckets already recorded in <output>/lineage")
+    ap.add_argument("--no-linking", action="store_true")
+    ap.add_argument("--n-buckets", type=int, default=256)
+    args = ap.parse_args()
+
+    from trident_spark.pipeline import build_kg, lineage
+    from trident_spark.pipeline.alias_dict import alias_dict_df
+    from trident_spark.pipeline.pages import pages_df
+    from trident_spark.pipeline.sinks import to_ntriples
+    from trident_spark.session import get_spark
+
+    spark = get_spark(app_name="trident-spark-kg")
+    out = args.output.rstrip("/")
+
+    if args.synthetic:
+        pages = pages_df(spark, args.synthetic)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    if args.resume:
+        try:
+            lin = spark.read.parquet(f"{out}/lineage")
+            pages = lineage.resume_filter(pages, lin, "triples", args.n_buckets)
+            print(f"resume: {pages.count()} pages remain", file=sys.stderr)
+        except Exception:  # noqa: BLE001 — first run: no lineage table yet
+            pass
+
+    alias = None if args.no_linking else alias_dict_df(spark)
+    t0 = time.monotonic()
+    result = build_kg(pages, alias_dict=alias)
+
+    result.terms.write.mode("append").parquet(f"{out}/terms")
+    result.triples.write.mode("append").parquet(f"{out}/triples")
+    to_ntriples(result.skolemized).write.mode("append").text(f"{out}/ntriples")
+    lineage.compute_lineage(
+        result.skolemized, "triples", args.n_buckets
+    ).write.mode("append").parquet(f"{out}/lineage")
+
+    n_triples = spark.read.parquet(f"{out}/triples").count()
+    n_bad = result.page_results.where("NOT text_ok").count()
+    elapsed = time.monotonic() - t0
+    print(json.dumps({
+        "triples_total": n_triples,
+        "text_invariant_violations": n_bad,
+        "elapsed_sec": round(elapsed, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
