@@ -260,6 +260,23 @@ SELECT '{DOC_BASE}/doc/' || doc_id AS doc, source AS org_name FROM documents
 """
 
 
+def q_kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's proposed g.Query(sparql) surface (README.md:94-120):
+    a two-pattern BGP compiled to DataFrame joins."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?doc ?org_name WHERE {
+            ?doc schema:provider ?org .
+            ?org schema:name ?org_name .
+        }
+        """,
+    ).dropDuplicates(["doc", "org_name"])
+
+
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted text must round-trip byte-identically per url."""
     from trident_spark.pipeline import extract_stage
@@ -692,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_triples": q_kg_doc_triples,
         "kg_predicate_stats": q_kg_predicate_stats,
         "kg_bgp_provider": q_kg_bgp_provider,
+        "kg_sparql_bgp": q_kg_sparql_bgp,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -731,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_doc_triples": _KG_TRIPLES_ORACLE,
         "kg_predicate_stats": _KG_PRED_STATS_ORACLE,
         "kg_bgp_provider": _KG_BGP_ORACLE,
+        "kg_sparql_bgp": _KG_BGP_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -124,3 +124,42 @@ def test_lineage_resume(spark, corpus):
     done_buckets = {r["bucket"] for r in lin.collect()}
     left = lineage.with_bucket(remaining, 16).select("bucket").distinct().collect()
     assert all(r["bucket"] not in done_buckets for r in left)
+
+
+def test_turtle_serialization(spark):
+    rows = [
+        ("http://x/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "https://schema.org/Person", "iri", None, None),
+        ("http://x/alice", "https://schema.org/name", "Alice", "literal", None, None),
+        ("http://x/alice", "https://schema.org/age", "30", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://x/alice", "https://schema.org/bio", "hi", "literal", None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj_lexical string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    blocks = [r["block"] for r in sinks.to_turtle(df).collect()]
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.startswith("<http://x/alice> ")
+    assert "rdf:type schema:Person" in b
+    assert 'schema:name "Alice"' in b
+    assert 'schema:age "30"^^xsd:integer' in b
+    assert 'schema:bio "hi"@en' in b
+    assert b.rstrip().endswith(".")
+    assert "@prefix schema:" in sinks.turtle_header()
+
+
+def test_literal_lang_normalization(spark):
+    rows = [
+        ("http://x/a", "https://schema.org/bio", "hallo", "literal", None, "EN-us"),
+        ("http://x/a", "https://schema.org/bio", "qapla", "literal", None, "i-klingon"),
+        ("http://x/a", "https://schema.org/bio", "x", "literal", None, "not_a_tag"),
+        ("http://x/a", "https://schema.org/name", "A", "literal", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj_lexical string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    out = {r["obj_lexical"]: r["obj_lang"]
+           for r in kg.normalize_literal_langs(df).collect()}
+    assert out == {"hallo": "en-US", "qapla": "tlh", "x": None, "A": None}

@@ -53,6 +53,25 @@ def skolemize(raw: DataFrame) -> DataFrame:
     )
 
 
+def normalize_literal_langs(skolemized: DataFrame) -> DataFrame:
+    """Canonicalize literal language tags per RFC 5646 §4.5 (kernel A28).
+
+    Valid tags are replaced by their canonical form (``EN-us`` → ``en-US``,
+    ``i-klingon`` → ``tlh``); invalid tags are dropped to null (an RDF
+    literal with a bogus langtag is worse than a plain literal).  Only rows
+    that actually carry a tag pay the Arrow hop.
+    """
+    from trident_spark.functions.langtag_funcs import langtag_normalize
+
+    norm = langtag_normalize(F.col("obj_lang"))
+    return skolemized.withColumn(
+        "obj_lang",
+        F.when(F.col("obj_lang").isNull(), F.lit(None).cast("string")).otherwise(
+            norm["tag"]
+        ),
+    )
+
+
 def term_id(kind_col, lexical_col, datatype_col=None, lang_col=None):
     """Deterministic 64-bit id from canonical term content."""
     return F.xxhash64(

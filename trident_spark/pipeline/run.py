@@ -36,7 +36,7 @@ def build_kg(
         # triples), never the html blobs — the decision that matters at 100TB
         page_results = extract_stage.latest_capture(page_results)
     raw = extract_stage.raw_triples(page_results)
-    skolemized = kg.skolemize(raw)
+    skolemized = kg.normalize_literal_langs(kg.skolemize(raw))
     if persist_intermediate:
         # extraction (the expensive Arrow hop) feeds linking, CC and encoding;
         # materialize it once.  On a production run this boundary is a table

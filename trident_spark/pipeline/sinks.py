@@ -69,6 +69,65 @@ def to_ntriples(skolemized: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Turtle (grouped per subject — needs one groupBy, unlike N-Triples)
+# ---------------------------------------------------------------------------
+
+DEFAULT_TURTLE_PREFIXES = {
+    "schema": "https://schema.org/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+
+def to_turtle(skolemized: DataFrame,
+              prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Skolemized lexical triples → one Turtle block per subject.
+
+    The per-subject grouping is the inherent shuffle Turtle requires
+    (predicate lists share the subject via ``;``).  Prefix compaction is a
+    Catalyst expression chain; emit the @prefix header separately with
+    :func:`turtle_header`.
+    """
+    pfx = prefixes or DEFAULT_TURTLE_PREFIXES
+
+    def compact(col):
+        out = F.concat(F.lit("<"), col, F.lit(">"))
+        for name, ns in pfx.items():
+            local = F.substring(col, len(ns) + 1, 100000)
+            is_local = col.startswith(ns) & local.rlike(r"^[A-Za-z0-9_\-]*$")
+            out = F.when(is_local, F.concat(F.lit(name + ":"), local)).otherwise(out)
+        return out
+
+    obj = F.col("obj_lexical")
+    lit = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
+    rendered_obj = (
+        F.when(F.col("obj_kind") == "iri", compact(obj))
+        .when(F.col("obj_lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("obj_lang")))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(lit, F.lit("^^"), compact(F.col("obj_datatype"))))
+        .otherwise(lit)
+    )
+    po = F.concat(compact(F.col("pred")), F.lit(" "), rendered_obj)
+    return (
+        skolemized.select(F.col("subj"), po.alias("po"))
+        .groupBy("subj")
+        .agg(F.array_sort(F.collect_set("po")).alias("pos"))
+        .select(
+            F.concat(
+                compact(F.col("subj")), F.lit(" "),
+                F.concat_ws(" ;\n    ", F.col("pos")), F.lit(" ."),
+            ).alias("block")
+        )
+    )
+
+
+def turtle_header(prefixes: dict[str, str] | None = None) -> str:
+    pfx = prefixes or DEFAULT_TURTLE_PREFIXES
+    return "\n".join(f"@prefix {k}: <{v}> ." for k, v in sorted(pfx.items()))
+
+
+# ---------------------------------------------------------------------------
 # Parser (round-trip oracle)
 # ---------------------------------------------------------------------------
 
