@@ -182,3 +182,21 @@ def test_multimodal_plumbing(spark):
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 10, "audio": 10, "video": 10}
+
+
+def test_ivf_topk_contains_true_neighbors(spark, embeddings):
+    query = [float(x) for x in
+             embeddings.where("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(embeddings, query, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(embeddings, query, k=5, n_cells=8,
+                                  n_probe=3).collect()]
+    assert exact[0] in approx  # the vector itself
+    assert exact[1] in approx  # its planted near-duplicate
+
+
+def test_ivf_deterministic(spark, embeddings):
+    c1 = similarity.train_ivf_centroids(embeddings, n_cells=8)
+    c2 = similarity.train_ivf_centroids(embeddings, n_cells=8)
+    import numpy as np
+    assert np.allclose(c1, c2)

@@ -177,6 +177,81 @@ def _near_dup_blocked(embeddings: DataFrame, threshold: float,
     return block_pairs.mapInPandas(emit, "a long, b long, cosine double")
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: coarse k-means cells, probe nearest cells
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        sample_size: int = 4096, iters: int = 10,
+                        seed: int = 13, vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (the standard IVF
+    recipe: the codebook is tiny and trained once, then broadcast)."""
+    sample = np.array(
+        [r[0] for r in embeddings.select(vec_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add a ``cell`` column: nearest centroid by cosine (one Arrow hop,
+    numpy matmul per batch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cent = centroids  # captured in closure, shipped once per worker
+
+    def _cells(vecs):
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    cell_udf = pandas_udf(_cells, IntegerType())
+
+    return embeddings.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             n_cells: int = 16, n_probe: int = 3, seed: int = 13,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k: scan only the n_probe cells nearest the query,
+    exact cosine rescoring inside them (scans ~n_probe/n_cells of the data).
+
+    On a persistent index the assignment is precomputed and partitioned by
+    cell → partition pruning makes the probe a metadata operation.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells, seed=seed,
+                                        vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    return (
+        assigned.where(F.col("cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity_col(F.col(vec_col), query), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              use_lsh: bool = True, n_bits: int = 8, seed: int = 11,
                              vec_col: str = "embedding", id_col: str = "vec_id",
