@@ -69,9 +69,21 @@ ERR_TOO_MANY_EXTLANGS = "ErrTooManyExtlangs"
 @lru_cache(maxsize=1)
 def load_registry(path: str | None = None) -> dict:
     """Load the compact IANA registry: {key: record} with keys
-    ``"<type>:<lower(subtag)>"`` or ``lower(tag)`` (grandfathered/redundant)."""
-    with gzip.open(path or _DATA, "rt", encoding="utf-8") as f:
-        return json.load(f)["records"]
+    ``"<type>:<lower(subtag)>"`` or ``lower(tag)`` (grandfathered/redundant).
+
+    Reads via importlib.resources so it also works when the package ships as
+    a ``spark-submit --py-files`` zip (zipimport has no filesystem paths).
+    """
+    if path is not None:
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            return json.load(f)["records"]
+    try:
+        raw = _DATA.read_bytes()
+    except OSError:
+        import importlib.resources as ir
+
+        raw = ir.files("trident_spark").joinpath("data/iana_registry.json.gz").read_bytes()
+    return json.loads(gzip.decompress(raw))["records"]
 
 
 def _is_langtag_char(c: str) -> bool:
