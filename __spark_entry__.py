@@ -455,6 +455,14 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trident_spark.operators.similarity import ivf_topk
+
+    q = _query_vector(spark, sf_dir)
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), q, k=10,
+                    n_cells=16, n_probe=4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
