@@ -82,28 +82,28 @@ def _values_sql(rows: list[tuple], cols: tuple) -> str:
 
 
 def _iri_resolve_vectors():
-    from tests.test_iri_kernel import ABNORMAL_RESOLUTION, NORMAL_RESOLUTION
+    from trident_spark.conformance import ABNORMAL_RESOLUTION, NORMAL_RESOLUTION
 
     merged = {**NORMAL_RESOLUTION, **ABNORMAL_RESOLUTION}
     return sorted(merged.items())
 
 
 def _iri_normalize_vectors():
-    from tests.test_iri_kernel import NORMALIZE_CASES
+    from trident_spark.conformance import NORMALIZE_CASES
 
     return [(i, e) for i, e in NORMALIZE_CASES if i]
 
 
 def _iri_to_uri_vectors():
-    from tests.test_iri_kernel import TO_URI_CASES
+    from trident_spark.conformance import TO_URI_CASES
 
     return list(TO_URI_CASES)
 
 
 def _langtag_vectors():
-    from tests.test_langtag_kernel import NORMALIZE_OK
+    from trident_spark.conformance import LANGTAG_NORMALIZE_OK
 
-    return list(NORMALIZE_OK)
+    return list(LANGTAG_NORMALIZE_OK)
 
 
 def q_iri_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +140,7 @@ def q_langtag_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _uri_to_iri_vectors():
-    from tests.test_iri_kernel import FROM_URI_CASES
+    from trident_spark.conformance import FROM_URI_CASES
 
     return [(u, e) for u, e, err in FROM_URI_CASES if not err]
 
@@ -153,7 +153,7 @@ def q_uri_to_iri(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _relativize_vectors():
-    from tests.test_iri_kernel import RELATIVIZE_CASES
+    from trident_spark.conformance import RELATIVIZE_CASES
 
     return list(RELATIVIZE_CASES)
 
@@ -170,9 +170,9 @@ def q_iri_relativize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langtag_parse_vectors():
-    from tests.test_langtag_kernel import PARSE_OK
+    from trident_spark.conformance import LANGTAG_PARSE_OK
 
-    return list(PARSE_OK)
+    return list(LANGTAG_PARSE_OK)
 
 
 def q_langtag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,121 +7,17 @@ RFC 3987 §3.1/§3.2 IRI↔URI conversions, and the relativization table.
 
 import pytest
 
+from trident_spark.conformance import (  # noqa: F401 — re-exported for other tests
+    ABNORMAL_RESOLUTION,
+    FROM_URI_CASES,
+    NORMAL_RESOLUTION,
+    NORMALIZE_CASES,
+    RELATIVIZE_CASES,
+    RESOLVE_BASE as BASE,
+    TO_URI_CASES,
+)
 from trident_spark.kernels import iri as K
 
-BASE = "http://a/b/c/d;p?q"
-
-# RFC 3986 §5.4.1 normal examples (iri/iri_test.go:583-609)
-NORMAL_RESOLUTION = {
-    "g:h": "g:h",
-    "g": "http://a/b/c/g",
-    "./g": "http://a/b/c/g",
-    "g/": "http://a/b/c/g/",
-    "/g": "http://a/g",
-    "//g": "http://g",
-    "?y": "http://a/b/c/d;p?y",
-    "g?y": "http://a/b/c/g?y",
-    "#s": "http://a/b/c/d;p?q#s",
-    "g#s": "http://a/b/c/g#s",
-    "g?y#s": "http://a/b/c/g?y#s",
-    ";x": "http://a/b/c/;x",
-    "g;x": "http://a/b/c/g;x",
-    "g;x?y#s": "http://a/b/c/g;x?y#s",
-    "": "http://a/b/c/d;p?q",
-    ".": "http://a/b/c/",
-    "./": "http://a/b/c/",
-    "..": "http://a/b/",
-    "../": "http://a/b/",
-    "../g": "http://a/b/g",
-    "../..": "http://a/",
-    "../../": "http://a/",
-    "../../g": "http://a/g",
-}
-
-# RFC 3986 §5.4.2 abnormal examples (iri/iri_test.go:625-646)
-ABNORMAL_RESOLUTION = {
-    "../../../g": "http://a/g",
-    "../../../../g": "http://a/g",
-    "/./g": "http://a/g",
-    "/../g": "http://a/g",
-    "g.": "http://a/b/c/g.",
-    ".g": "http://a/b/c/.g",
-    "g..": "http://a/b/c/g..",
-    "..g": "http://a/b/c/..g",
-    "./../g": "http://a/b/g",
-    "./g/.": "http://a/b/c/g/",
-    "g/./h": "http://a/b/c/g/h",
-    "g/../h": "http://a/b/c/h",
-    "g;x=1/./y": "http://a/b/c/g;x=1/y",
-    "g;x=1/../y": "http://a/b/c/y",
-    "g?y/./x": "http://a/b/c/g?y/./x",
-    "g?y/../x": "http://a/b/c/g?y/../x",
-    "g#s/./x": "http://a/b/c/g#s/./x",
-    "g#s/../x": "http://a/b/c/g#s/../x",
-}
-
-# RFC 3986 §6.2 normalization (iri/iri_test.go:512-560)
-NORMALIZE_CASES = [
-    ("HTTP://User@Example.COM/Path", "http://User@example.com/Path"),
-    ("http://example.com/%7Euser", "http://example.com/~user"),
-    ("http://example.com/a/b/../c/./d", "http://example.com/a/c/d"),
-    ("http://example.com", "http://example.com/"),
-    ("http://example.com:80/path", "http://example.com/path"),
-    ("http://example.com:8080/path", "http://example.com:8080/path"),
-    ("http://example.com/re\u0301sume\u0301.html", "http://example.com/résumé.html"),
-    ("HTTP://EXAMPLE.COM:80/a/../b/%7E", "http://example.com/b/~"),
-    ("", ""),
-]
-
-# RFC 3987 §3.1 IRI→URI (iri/iri_test.go:435-498)
-TO_URI_CASES = [
-    ("http://example.com/a/b", "http://example.com/a/b"),
-    ("http://example.com/résumé", "http://example.com/r%C3%A9sum%C3%A9"),
-    ("http://example.com/?p=résumé", "http://example.com/?p=r%C3%A9sum%C3%A9"),
-    ("http://example.com/#résumé", "http://example.com/#r%C3%A9sum%C3%A9"),
-    ("ftp://résumé@example.com/", "ftp://r%C3%A9sum%C3%A9@example.com/"),
-    ("http://résumé.example.org/", "http://xn--rsum-bpad.example.org/"),
-    ("http://user:p@résumé.com:8080/p?q=v#f", "http://user:p@xn--rsum-bpad.com:8080/p?q=v#f"),
-    ("http://-résumé.com/", "http://xn---rsum-csad.com/"),
-    ("http://" + "a" * 63 + ".com/", "http://" + "a" * 63 + ".com/"),
-    ("http://a%20b.com/", "http://a%20b.com/"),
-    ("http://example.com/e\u0301", "http://example.com/%C3%A9"),
-]
-
-# RFC 3987 §3.2 URI→IRI (iri/iri_test.go:363-413)
-FROM_URI_CASES = [
-    ("http://example.org/D%C3%BCrst", "http://example.org/Dürst", False),
-    ("http://example.org/%FCrst", "http://example.org/%FCrst", False),
-    ("http://example.com/%E2%80%AE", "http://example.com/%E2%80%AE", False),
-    ("http://example.com/%C", "", True),
-    ("http://example.com/foo%GGbar", "", True),
-    ("/a%C3%A9b%E9c/", "/aéb%E9c/", False),
-    ("a%3A/b", "a:/b", False),
-]
-
-# Relativize table (iri/iri_test.go:939-966)
-RELATIVIZE_CASES = [
-    ("http://a/b/c", "http://a/b/c", ""),
-    ("http://a/b/c", "http://a/b/c#frag", "#frag"),
-    ("http://a/b/c?q1", "http://a/b/c?q2", "?q2"),
-    ("http://a/b/c", "http://a/b/c/d/e", "c/d/e"),
-    ("http://a/b/c/d", "http://a/b/c/e", "e"),
-    ("http://a/b/c/d", "http://a/e", "../../e"),
-    ("http://a/b/c", "http://x/y/z", "//x/y/z"),
-    ("http://a/b/c", "http://x", "//x"),
-    ("http://a/b/c", "https://x/y/z", "https://x/y/z"),
-    ("http://a/b/c?q", "http://a/b/c", "c"),
-    ("http://a/b", "http://a/c", "c"),
-    ("http://a", "http://a/b/c", "b/c"),
-    ("http://a/b/c", "http://a/", "../"),
-    ("http://a/b", "mailto:user@b", "mailto:user@b"),
-    ("http://example.com/a", "http:/b/c", "http:/b/c"),
-    ("http://a/b", "http://a", "//a"),
-    ("mailto:user@example.com", "mailto:", "mailto:"),
-    ("http://a/b", "http://a/", "."),
-    ("mailto:a@b.com", "mailto:c@d.com", "c@d.com"),
-    ("foo:a/b/c", "foo:a/d/e", "../d/e"),
-]
 
 VALID_REFS = [
     "http://example.com/p?q#f",

@@ -6,23 +6,11 @@ RFC 5646 Appendix A well-formedness, §4.5 canonicalization, extlang form.
 
 import pytest
 
+from trident_spark.conformance import (
+    LANGTAG_NORMALIZE_OK as NORMALIZE_OK,
+    LANGTAG_PARSE_OK as PARSE_OK,
+)
 from trident_spark.kernels import langtag as L
-
-PARSE_OK = [
-    ("de", "de"),
-    ("en-US", "en-US"),
-    ("sr-Latn-RS", "sr-Latn-RS"),
-    ("MN-cYRL-mn", "mn-Cyrl-MN"),
-    ("de-CH-x-phonebk", "de-CH-x-phonebk"),
-    ("x-whatever", "x-whatever"),
-    ("i-klingon", "i-klingon"),
-    ("art-lojban", "art-lojban"),
-    ("en-a-myext-b-another", "en-a-myext-b-another"),
-    ("zz-US", "zz-US"),
-    ("en-Zzzz-US", "en-Zzzz-US"),
-    ("de-DE-1901-1901", "de-DE-1901-1901"),
-    ("en-a-foo-a-bar", "en-a-foo-a-bar"),
-]
 
 PARSE_ERR = [
     ("en_US", L.ERR_FORBIDDEN_CHAR),
@@ -31,18 +19,6 @@ PARSE_ERR = [
     ("x-", L.ERR_EMPTY_PRIVATE_USE),
     ("en-a-", L.ERR_EMPTY_EXTENSION),
     ("en-a-b-foo", L.ERR_EMPTY_EXTENSION),
-]
-
-NORMALIZE_OK = [
-    ("zh-min-nan", "nan"),
-    ("art-lojban", "jbo"),
-    ("i-klingon", "tlh"),
-    ("i-enochian", "i-enochian"),
-    ("en-BU", "en-MM"),
-    ("zh-gan", "gan"),
-    ("en-b-ccc-a-aaa", "en-a-aaa-b-ccc"),
-    ("is-Latn", "is"),
-    ("SR-LATN-rs", "sr-Latn-RS"),
 ]
 
 NORMALIZE_ERR = [
