@@ -920,5 +920,12 @@ def relativize(base: str | ParsedRef, target: str | ParsedRef) -> str:
         pass
     q = ("?" + tc.query) if tc.query is not None else ""
     result = rel + q + frag
-    # target ends with '/' but rel collapsed to '.' handled above
+    # self-check: shortest-form computation must round-trip; pathological
+    # paths (e.g. empty segments like "http://a//") fall back to the full
+    # target, which is always a correct (if unshortened) relative form
+    try:
+        if resolve(bref, result, nfc=False).iri != tref.iri:
+            return tref.iri
+    except IRIError:
+        return tref.iri
     return result
