@@ -58,3 +58,31 @@ def test_top_hubs(spark):
     )
     top = diff.top_hubs(t, k=1).collect()
     assert top[0]["subj"] == "hub" and top[0]["degree"] == 9
+
+
+def test_cc_star_matches_labelprop_random(spark):
+    import random
+
+    from trident_spark.pipeline import cc
+
+    rng = random.Random(9)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {r["node"]: r["component"]
+            for r in cc.connected_components_star(df).collect()}
+    prop = {r["node"]: r["component"]
+            for r in cc.connected_components_labelprop(df).collect()}
+    assert star == prop
+
+
+def test_cc_star_long_chain(spark):
+    from trident_spark.pipeline import cc
+
+    # a 200-node chain: diameter 200, label propagation would need 200
+    # rounds; star converges in O(log^2 n)
+    df = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                               "src long, dst long")
+    labels = {r["node"]: r["component"]
+              for r in cc.connected_components_star(df, max_iter=15).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 201

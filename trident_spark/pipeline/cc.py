@@ -1,12 +1,19 @@
 """Connected components on DataFrames (C13): canonicalization of sameAs
-clusters via iterative min-label propagation (GraphFrames-style).
+clusters.
 
-Algorithm: every node starts labelled with its own id; each round, a node's
-label becomes the min over itself and its neighbours; stop when no label
-changes.  Rounds are O(graph diameter) — sameAs clusters from alias linking
-are stars, so 2-3 rounds in practice.  Each round is one shuffle
-(groupBy node); lineage is truncated with localCheckpoint so the plan does
-not grow across iterations (SURVEY.md §4.3).
+Two implementations:
+
+- ``connected_components`` (default) — alternating **large-star/small-star**
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  converges in O(log² n) rounds *independent of graph diameter*, the right
+  asymptotics for web-scale graphs with long sameAs chains.  Each half-round
+  is a groupBy(min) + join — no collect_list, so hub nodes cause no
+  single-task blowup.
+- ``connected_components_labelprop`` — min-label propagation
+  (GraphFrames-style), O(diameter) rounds; simpler, fine for the shallow
+  star-shaped clusters alias linking produces, kept as the cross-check.
+
+Both truncate lineage with localCheckpoint per round (SURVEY.md §4.3).
 """
 
 from __future__ import annotations
@@ -14,7 +21,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-larger neighbours to the min) or
+    small-star (connect smaller-or-equal neighbours and self to the min)."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+    m = mins.select("u", F.least(F.col("u"), F.col("nmin")).alias("m"))
+    j = sym.join(m, "u")
+    if large:
+        out = j.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        keep = m.select("u", F.col("m").alias("v"))  # (u, m) keeps u attached
+        out = out.union(keep)
+    else:
+        out = j.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        out = out.union(m.select("u", F.col("m").alias("v")))
+    return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star → labels(node, component)."""
+    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    nodes = cur.select(F.col("u").alias("node")).distinct()
+    prev_hash = None
+    for _ in range(max_iter):
+        cur = _star_round(_symmetrize(cur, "u", "v"), large=True)
+        cur = _star_round(_symmetrize(cur, "u", "v"),
+                          large=False).localCheckpoint(eager=True)
+        h = cur.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("x")
+        ).first()
+        sig = (h["n"], h["x"])
+        if sig == prev_hash:
+            break
+        prev_hash = sig
+    # converged: every non-min node u has edge (u, component_min)
+    labels = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    # minima label themselves; isolated self-loop nodes keep their own id
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(src long, dst long) → labels(node long, component long);
+    component = min node id (deterministic).  Uses large-star/small-star."""
+    return connected_components_star(edges, max_iter)
+
+
+def connected_components_labelprop(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(src long, dst long) → labels(node long, component long).
 
     component = min node id of the connected component (deterministic).
