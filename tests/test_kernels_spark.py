@@ -89,3 +89,12 @@ def test_langtag_error_codes(spark):
             df.select("tag", langtag_normalize("tag").alias("r")).collect()}
     assert rows["en_US"]["error"] == "ErrForbiddenChar"
     assert rows["zz-US"]["error"] == "ErrInvalidLanguage"
+
+
+def test_udfs_tolerate_all_null_batches(spark):
+    from trident_spark.functions.iri_funcs import iri_normalize, iri_parse
+
+    df = spark.createDataFrame([(None,), (None,)], "iri string")
+    rows = df.select(iri_parse("iri").alias("p"),
+                     iri_normalize("iri").alias("n")).collect()
+    assert all(r["p"]["iri"] is None and r["n"]["value"] is None for r in rows)

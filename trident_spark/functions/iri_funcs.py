@@ -54,11 +54,12 @@ VALUE_ERROR_SCHEMA = StructType(
     [StructField("value", StringType()), StructField("error", StringType())]
 )
 
-def _map_unique(ser: pd.Series, fn) -> pd.DataFrame:
+def _map_unique(ser: pd.Series, fn, width: int = 2) -> pd.DataFrame:
     """Apply fn once per distinct value; fn returns a tuple of outputs."""
     uniq = ser.dropna().unique()
     table = {v: fn(v) for v in uniq}
-    width = len(next(iter(table.values()))) if len(table) else 2
+    if table:
+        width = len(next(iter(table.values())))
     none_row = (None,) * width
     rows = [table[v] if v is not None else none_row for v in ser]
     return pd.DataFrame(rows)
@@ -77,7 +78,7 @@ def iri_parse(s: pd.Series) -> pd.DataFrame:
         except K.IRIError as e:
             return (None, None, None, None, None, None, None, str(e))
 
-    df = _map_unique(s, one)
+    df = _map_unique(s, one, width=8)
     df.columns = ["iri", "scheme", "authority", "path", "query", "fragment",
                   "is_absolute", "error"]
     return df
