@@ -106,6 +106,39 @@ def scale_run(cpus: int, pages_path: str, n_pages: int) -> None:
     spark.stop()
 
 
+def kernel_micro() -> dict[str, float]:
+    """Single-thread kernel ops/sec — the closest comparable to the
+    reference's single-node scalar library (which publishes no numbers;
+    BASELINE.md documents that).  Mixed workloads, warm caches."""
+    from trident_spark.kernels import extract as X
+    from trident_spark.kernels import iri as K
+    from trident_spark.kernels import langtag as L
+    from trident_spark.pipeline.pages import gen_page
+
+    iris = [f"http://example{i % 97}.com/path/{i}/page?x={i}#f{i}" for i in range(20000)]
+    rels = ["../g", "./a/b", "?q", "#s", "/abs/path", "sub/page.html"] * 3000
+    tags = ["en", "EN-us", "sr-Latn-RS", "zh-min-nan", "de-DE", "pt-BR"] * 3000
+    base = K.parse_ref("http://a/b/c/d;p?q")
+    pages = [gen_page(i) for i in range(1, 1001)]
+
+    out = {}
+
+    def clock(name, fn, n):
+        t0 = time.monotonic()
+        fn()
+        out[name] = round(n / (time.monotonic() - t0), 0)
+
+    clock("iri_parse_ops_per_sec", lambda: [K.parse_ref(s) for s in iris], len(iris))
+    clock("iri_resolve_ops_per_sec", lambda: [K.resolve(base, r) for r in rels], len(rels))
+    clock("iri_normalize_ops_per_sec", lambda: [K.normalize(s) for s in iris], len(iris))
+    reg = L.load_registry()
+    clock("langtag_normalize_ops_per_sec",
+          lambda: [L.normalize(t, reg) for t in tags], len(tags))
+    clock("extract_page_pages_per_sec",
+          lambda: [X.extract_page(p["html"], p["url"]) for p in pages], len(pages))
+    return out
+
+
 def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as E
 
@@ -184,7 +217,8 @@ def run_scaling() -> dict:
     return result
 
 
-def write_baseline_md(timings: dict, scaling: dict | None, total: float) -> None:
+def write_baseline_md(timings: dict, scaling: dict | None, total: float,
+                      kernels: dict | None = None) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     lines = [
@@ -199,6 +233,18 @@ def write_baseline_md(timings: dict, scaling: dict | None, total: float) -> None
     ]
     lines += [f"| {k} | {v} |" for k, v in timings.items()]
     lines += ["", f"total: {round(total, 2)} sec", ""]
+    if kernels:
+        lines += [
+            "## Kernel micro-benchmarks (single thread, warm)",
+            "",
+            "The reference (Go scalar library) publishes no numbers; these are",
+            "ours for the equivalent per-row operations:",
+            "",
+            "| kernel | ops/sec |",
+            "|---|---|",
+        ]
+        lines += [f"| {k} | {int(v)} |" for k, v in kernels.items()]
+        lines += [""]
     if scaling:
         pps = scaling["pages_per_sec"]
         lines += [
@@ -265,11 +311,13 @@ def main() -> None:
     total = time.monotonic() - t0
     spark.stop()
 
+    kernels = kernel_micro()
+
     scaling = None
     if not args.no_scaling and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         scaling = run_scaling()
 
-    write_baseline_md(timings, scaling, total)
+    write_baseline_md(timings, scaling, total, kernels)
 
     result = {
         "metric": "headline query suite wall-clock (sf0.1) + KG pages/sec scaling",
@@ -277,6 +325,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "kernel_ops_per_sec": kernels,
     }
     if scaling:
         result["scaling"] = scaling
