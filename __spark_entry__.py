@@ -274,7 +274,7 @@ def q_kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ?org schema:name ?org_name .
         }
         """,
-    ).dropDuplicates(["doc", "org_name"])
+    )
 
 
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,3 +94,29 @@ def test_to_uri_ascii_and_parseable(iri):
     # converting back and forth keeps a fixed point
     rt = K.iri_to_uri(K.uri_to_iri(uri).iri)
     assert rt == uri
+
+
+@settings(max_examples=500, deadline=None)
+@given(s=st.text(alphabet=string.ascii_letters + string.digits + ":/@.?#%-~&=+ ",
+                 max_size=28),
+       prefix=st.sampled_from(["", "http://", "//", "https://h"]))
+def test_fast_path_matches_slow_path(s, prefix):
+    """The safe-ASCII fast path must agree with the validating parser on
+    both the rendered IRI and the component positions."""
+    s = prefix + s
+
+    def run():
+        try:
+            r = K.parse_ref(s)
+            return (r.iri, r.pos)
+        except K.IRIError:
+            return ("err", None)
+
+    fast_result = run()
+    orig = K._fast_parse
+    K._fast_parse = lambda x: None
+    try:
+        slow_result = run()
+    finally:
+        K._fast_parse = orig
+    assert fast_result == slow_result

@@ -86,3 +86,12 @@ def test_cc_star_long_chain(spark):
               for r in cc.connected_components_star(df, max_iter=15).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == 201
+
+
+def test_cc_self_loop_only_node_keeps_own_id(spark):
+    from trident_spark.pipeline import cc
+
+    edges = spark.createDataFrame([(1, 2), (7, 7)], "src long, dst long")
+    labels = {r["node"]: r["component"]
+              for r in cc.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 7: 7}

@@ -95,3 +95,27 @@ def test_errors(spark, graph):
         query(graph, "ASK { ?s ?p ?o }")
     with pytest.raises(SparqlError):
         query(graph, "SELECT ?x WHERE { ?s <http://p> ?o . }")
+
+
+def test_duplicate_triples_do_not_multiply_solutions(spark, graph):
+    doubled = graph.union(graph)
+    df = query(doubled, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?person ?orgname WHERE {
+            ?person schema:worksFor ?org .
+            ?org schema:name ?orgname .
+        }
+    """)
+    rows = [(r["person"], r["orgname"]) for r in df.collect()]
+    assert sorted(rows) == [("http://x/alice", "Acme"), ("http://x/bob", "Globex")]
+
+
+def test_ground_pattern_existence_check(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            <http://x/acme> a schema:Organization .
+            <http://x/acme> schema:name ?n .
+        }
+    """)
+    assert [r["n"] for r in df.collect()] == ["Acme"]

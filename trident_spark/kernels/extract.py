@@ -432,7 +432,10 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
             if t_iri:
                 out.append(RawTriple(new_subj, RDF_TYPE, t_iri, "iri", None, None, "rdfa"))
 
-    if prop and subj is not None:
+    # RDFa: @about on the element sets the subject of its own @property
+    # triples; without @about, @property attaches to the inherited subject
+    prop_subj = new_subj if "about" in a else subj
+    if prop and prop_subj is not None:
         for p in prop.split():
             pred = _expand_term(p, vocab, prefixes, ctx)
             if pred is None:
@@ -444,7 +447,7 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
                 ref = a.get("resource") or a.get("href") or a.get("src")
                 o = ctx.to_iri(ref) if ref else None
                 if o is not None:
-                    out.append(RawTriple(subj, pred, o, "iri", None, None, "rdfa"))
+                    out.append(RawTriple(prop_subj, pred, o, "iri", None, None, "rdfa"))
             else:
                 content = a.get("content")
                 lex = content if content is not None else _WS_RE.sub(" ", node.text()).strip()
@@ -452,7 +455,7 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
                 if a.get("datatype"):
                     dt = _expand_term(a["datatype"], vocab, prefixes, ctx)
                 lang = a.get("lang") or a.get("xml:lang")
-                out.append(RawTriple(subj, pred, lex, "literal", dt, lang, "rdfa"))
+                out.append(RawTriple(prop_subj, pred, lex, "literal", dt, lang, "rdfa"))
 
     for ch in node.children:
         if not isinstance(ch, str):
@@ -528,10 +531,14 @@ def _microdata_item(node: Node, ctx: _Ctx, out: list[RawTriple]) -> tuple[str, s
                         lex, okind, dt = _microdata_value(ch, ctx)
                         if lex:
                             out.append(RawTriple(subj, pred, lex, okind, dt, None, "microdata"))
-            if "itemscope" not in ch.attrs or "itemprop" not in ch.attrs:
-                if "itemscope" in ch.attrs and "itemprop" not in ch.attrs:
-                    continue  # independent top-level item handled elsewhere
-                walk(ch)
+            if "itemscope" in cha:
+                if "itemprop" not in cha:
+                    # an independent item nested inside this one: extract it
+                    # as its own top-level item (no property edge to us)
+                    _microdata_item(ch, ctx, out)
+                # either way, don't walk into another item's scope
+                continue
+            walk(ch)
 
     walk(node)
     return subj, kind

@@ -174,8 +174,6 @@ def _consume_component(s: str, allowed, out: list[str]) -> None:
     while i < n:
         c = s[i]
         if c == "%":
-            if i + 2 >= n + 1 and True:  # pragma: no cover - guarded below
-                pass
             if i + 2 > n - 1:
                 raise IRIError(f"Invalid IRI percent encoding: {s[i:]}")
             c1, c2 = s[i + 1], s[i + 2]
@@ -308,8 +306,8 @@ _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*$")
 # per-character validation walk.  Hot web URLs overwhelmingly match this.
 _FAST_SAFE = re.compile(
     r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*):)?"
-    r"(?P<auth>//(?:[A-Za-z0-9._~!$&'()*+,;=\-]*@)?"
-    r"[A-Za-z0-9._~!$&'()*+,;=\-]*(?::[0-9]*)?)?"
+    r"(?P<auth>//(?:[A-Za-z0-9._~!$&'()*+,;=\-]+@)?"  # empty userinfo: slow path
+    r"[A-Za-z0-9._~!$&'()*+,;=\-]*(?::[0-9]+)?)?"  # empty port: slow path
     r"(?P<path>[A-Za-z0-9._~!$&'()*+,;=:@/\-]*)"
     r"(?:\?(?P<query>[A-Za-z0-9._~!$&'()*+,;=:@/?\-]*))?"
     r"(?:#(?P<frag>[A-Za-z0-9._~!$&'()*+,;=:@/?\-]*))?$"
@@ -322,6 +320,12 @@ def _fast_parse(s: str) -> ParsedRef | None:
         return None
     scheme, auth, path = m.group("scheme"), m.group("auth"), m.group("path")
     query, frag = m.group("query"), m.group("frag")
+    if auth is not None and path and not path.startswith("/"):
+        # the regex can split a malformed authority (bad port, stray '@')
+        # so that its tail spills into the path — e.g. "http://host:abc/"
+        # → auth "//host:", path "abc/".  A real path after an authority
+        # always starts with '/', so punt these to the validating parser.
+        return None
     if scheme is None:
         # relative: first segment must not contain ':' (RFC 3986 §4.2)
         if auth is None and ":" in path.split("/", 1)[0]:
@@ -363,8 +367,6 @@ def _render_path(path: str, has_authority: bool, first_seg_no_colon: bool,
     for idx, seg in enumerate(segments):
         if idx > 0:
             out.append("/")
-        if idx == 0 and first_seg_no_colon and ":" in seg:
-            raise IRIError("Invalid IRI character in first path segment")
         seg_out: list[str] = []
         allowed = _is_path_char if not (idx == 0 and first_seg_no_colon) else (
             lambda c: _is_iunreserved_or_sub_delims(c) or c == "@"
@@ -911,13 +913,11 @@ def relativize(base: str | ParsedRef, target: str | ParsedRef) -> str:
     rel = "/".join(rel_segs)
     if not rel:
         rel = "."
-    # a relative path cannot start with a segment containing ':' or be empty
+    # a relative path must not start with a segment containing ':' (it
+    # would parse as a scheme on resolution)
     first = rel_segs[0] if rel_segs else ""
     if ":" in first:
         rel = "./" + rel
-    if rel.startswith("/"):
-        # absolute-path form (base path had no directory prefix in common)
-        pass
     q = ("?" + tc.query) if tc.query is not None else ""
     result = rel + q + frag
     # self-check: shortest-form computation must round-trip; pathological

@@ -117,6 +117,23 @@ def lsh_bucket_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     )
 
 
+def _normalized(embeddings: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, v): unit-normalized double vectors.  The norm is computed once
+    into a column — putting the aggregate inside the transform lambda would
+    re-evaluate it per element (O(dim²) per row)."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_raw"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        .select(
+            "id",
+            F.transform(F.col("_raw"), lambda x: x.cast("double") / F.col("_n")).alias("v"),
+        )
+    )
+
+
 def _near_dup_blocked(embeddings: DataFrame, threshold: float,
                       vec_col: str, id_col: str, n_blocks: int) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via blocked GEMM.
@@ -128,10 +145,8 @@ def _near_dup_blocked(embeddings: DataFrame, threshold: float,
     executor memory at any corpus size."""
     import pandas as pd
 
-    norm = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias("v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+    norm = _normalized(embeddings, vec_col, id_col).withColumn(
+        "blk", F.pmod(F.col("id"), F.lit(n_blocks))
     )
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -267,10 +282,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
     if dim is None:
         raise ValueError("dim required when use_lsh=True")
-    norm = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))).alias("v"),
-    )
+    norm = _normalized(embeddings, vec_col, id_col)
     sigs = hyperplane_signatures(
         norm.withColumnRenamed("v", vec_col), dim, n_bits, seed, vec_col
     ).withColumnRenamed(vec_col, "v")

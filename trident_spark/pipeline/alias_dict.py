@@ -8,15 +8,10 @@ but still broadcastable.
 
 from __future__ import annotations
 
-from trident_spark.pipeline.pages import CITIES, FIRST, LAST, ORGS
-
-KB_PREFIX = "https://kb.trident-spark.dev/entity/"
+from trident_spark.pipeline.linking import KB_PREFIX
+from trident_spark.pipeline.pages import CITIES, FIRST, LAST, ORGS, _slug
 
 ALIAS_SCHEMA = "alias string, canonical_iri string, prior double"
-
-
-def _slug(s: str) -> str:
-    return s.lower().replace(" ", "-")
 
 
 def alias_rows() -> list[tuple[str, str, float]]:

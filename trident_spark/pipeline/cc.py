@@ -53,7 +53,13 @@ def _star_round(sym: DataFrame, large: bool) -> DataFrame:
 def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Alternating large-star/small-star → labels(node, component)."""
     cur = _symmetrize(edges).localCheckpoint(eager=True)
-    nodes = cur.select(F.col("u").alias("node")).distinct()
+    # nodes come from the raw edges so self-loop-only nodes (filtered out of
+    # the symmetrized edge set) still receive their own-id label
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     prev_hash = None
     for _ in range(max_iter):
         cur = _star_round(_symmetrize(cur, "u", "v"), large=True)

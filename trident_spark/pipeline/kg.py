@@ -58,8 +58,12 @@ def normalize_literal_langs(skolemized: DataFrame) -> DataFrame:
 
     Valid tags are replaced by their canonical form (``EN-us`` → ``en-US``,
     ``i-klingon`` → ``tlh``); invalid tags are dropped to null (an RDF
-    literal with a bogus langtag is worse than a plain literal).  Only rows
-    that actually carry a tag pay the Arrow hop.
+    literal with a bogus langtag is worse than a plain literal).
+
+    Note: Spark evaluates Python UDFs in a separate ArrowEvalPython node
+    before any when()-gating, so every row crosses the Arrow boundary; the
+    per-batch cost is still O(distinct tags) because the UDF dedups its
+    batch internally (langtag_funcs._langtag_udf).
     """
     from trident_spark.functions.langtag_funcs import langtag_normalize
 
@@ -129,11 +133,22 @@ def encode_triples(skolemized: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
-    """RDF graphs are sets: distinct (s,p,o), keeping the earliest capture."""
-    return triples.groupBy("subj_id", "pred_id", "obj_id").agg(
-        F.min("url").alias("url"),
-        F.min("warc_ts").alias("warc_ts"),
-        F.count("*").alias("n_mentions"),
+    """RDF graphs are sets: distinct (s,p,o), keeping the earliest capture.
+
+    Provenance is the min over (warc_ts, url) *pairs* — aggregating the two
+    columns independently could fabricate a (url, ts) combination that never
+    existed, breaking joins back to page_results/lineage.
+    """
+    first = F.min(F.struct("warc_ts", "url")).alias("first_capture")
+    return (
+        triples.groupBy("subj_id", "pred_id", "obj_id")
+        .agg(first, F.count("*").alias("n_mentions"))
+        .select(
+            "subj_id", "pred_id", "obj_id",
+            F.col("first_capture.url").alias("url"),
+            F.col("first_capture.warc_ts").alias("warc_ts"),
+            "n_mentions",
+        )
     )
 
 

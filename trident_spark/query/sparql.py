@@ -119,6 +119,8 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
     plan: DataFrame | None = None
     bound: set[str] = set()
     for i, pat in enumerate(patterns):
+        # RDF graphs are sets: duplicate captures of the same triple must
+        # not multiply solutions, so every pattern scan is set-projected
         scan = triples
         rename: dict[str, str] = {}
         for col, term in (("subj", pat.subj), ("pred", pat.pred),
@@ -134,7 +136,11 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
                     scan = scan.where(F.col("obj_kind") == "iri")
                 scan = scan.where(F.col(col) == value)
         proj = [F.col(c).alias(v) for c, v in rename.items()]
-        scan = scan.select(*proj) if proj else scan.select(F.lit(1).alias(f"_m{i}"))
+        if proj:
+            scan = scan.select(*proj).distinct()
+        else:
+            # fully-ground pattern: pure existence check → at most one row
+            scan = scan.select(F.lit(1).alias(f"_m{i}")).limit(1)
 
         if plan is None:
             plan = scan
