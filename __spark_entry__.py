@@ -679,7 +679,39 @@ def q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             extract_stage.raw_triples(extract_stage.extract_pages(pages))
         )
 
-    return triple_diff(triples_of(half), triples_of(docs))
+    return triple_diff(triples_of(half), triples_of(docs)).select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+        "change",
+    )
+
+
+_KG_TRIPLE_DIFF_ORACLE = f"""
+WITH odd AS (
+  SELECT '{DOC_BASE}/doc/' || doc_id AS doc,
+         '{DOC_BASE}/org/' || source AS org,
+         text, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+), gone AS (  -- orgs whose every document is odd disappear entirely
+  SELECT '{DOC_BASE}/org/' || source AS org, source
+  FROM documents GROUP BY source
+  HAVING COUNT(*) FILTER (WHERE doc_id % 2 = 0) = 0
+), t AS (
+  SELECT doc AS subj, '{RDF_TYPE}' AS pred,
+         '{SCHEMA}TextDigitalDocument' AS obj_lexical, 'iri' AS obj_kind,
+         '' AS obj_datatype FROM odd
+  UNION ALL SELECT doc, '{SCHEMA}text', text, 'literal', '' FROM odd
+  UNION ALL SELECT doc, '{SCHEMA}inLanguage', lang, 'literal', '' FROM odd
+  UNION ALL SELECT doc, '{SCHEMA}characterCount', CAST(n_chars AS VARCHAR),
+                   'literal', '{XSD_INT}' FROM odd
+  UNION ALL SELECT doc, '{SCHEMA}provider', org, 'iri', '' FROM odd
+  UNION ALL SELECT org, '{RDF_TYPE}', '{SCHEMA}Organization', 'iri', '' FROM gone
+  UNION ALL SELECT org, '{SCHEMA}name', source, 'literal', '' FROM gone
+)
+SELECT DISTINCT subj, pred, obj_lexical, obj_kind, obj_datatype,
+       'removed' AS change
+FROM t
+"""
 
 
 def q_kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "langtag_normalize_rfc5646": _values_sql(_langtag_vectors(), ("tag", "canonical")),
         "langtag_parse_rfc5646": _values_sql(_langtag_parse_vectors(), ("tag", "wellformed")),
         "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
+        "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,
         "events_salted_counts": _EVENTS_SALTED_ORACLE,
         "kg_doc_triples": _KG_TRIPLES_ORACLE,
         "kg_predicate_stats": _KG_PRED_STATS_ORACLE,
