@@ -255,9 +255,16 @@ def _literal_of(value) -> tuple[str, str | None]:
 # ---------------------------------------------------------------------------
 
 
-def _jsonld_context(ctx_value, vocab: str | None, prefixes: dict[str, str]):
-    """Fold a @context value into (vocab, prefixes); pragmatic subset."""
+def _jsonld_context(ctx_value, vocab: str | None, prefixes: dict[str, str],
+                    coerce: frozenset[str] = frozenset()):
+    """Fold a @context value into (vocab, prefixes, coerce); pragmatic subset.
+
+    ``coerce`` collects terms declared ``"@type": "@id"`` — their string
+    values are IRIs, not literals (expanded term definitions are also folded
+    into ``prefixes`` as exact-term aliases).
+    """
     prefixes = dict(prefixes)
+    coerce = set(coerce)
     if isinstance(ctx_value, str):
         base = ctx_value.rstrip("/#") + "/"
         if "schema.org" in ctx_value:
@@ -270,17 +277,28 @@ def _jsonld_context(ctx_value, vocab: str | None, prefixes: dict[str, str]):
                 vocab = v
             elif isinstance(v, str) and not k.startswith("@"):
                 prefixes[k] = v
+            elif isinstance(v, dict) and not k.startswith("@"):
+                # expanded term definition: {"@id": ..., "@type": "@id"}
+                vid = v.get("@id")
+                if isinstance(vid, str):
+                    prefixes[k] = vid  # exact-term alias (resolved on use)
+                if v.get("@type") == "@id":
+                    coerce.add(k)
     elif isinstance(ctx_value, list):
         for item in ctx_value:
-            vocab, prefixes = _jsonld_context(item, vocab, prefixes)
-    return vocab, prefixes
+            vocab, prefixes, coerce = _jsonld_context(item, vocab, prefixes,
+                                                      frozenset(coerce))
+            coerce = set(coerce)
+    return vocab, prefixes, frozenset(coerce)
 
 
 def _jsonld_node(node: dict, ctx: _Ctx, vocab, prefixes,
-                 out: list[RawTriple]) -> tuple[str, str] | None:
+                 out: list[RawTriple],
+                 coerce: frozenset[str] = frozenset()) -> tuple[str, str] | None:
     """Emit triples for one JSON-LD node; return (id, kind) of the node."""
     if "@context" in node:
-        vocab, prefixes = _jsonld_context(node["@context"], vocab, prefixes)
+        vocab, prefixes, coerce = _jsonld_context(node["@context"], vocab,
+                                                  prefixes, coerce)
 
     if "@value" in node:
         return None  # value object — handled by caller
@@ -288,7 +306,7 @@ def _jsonld_node(node: dict, ctx: _Ctx, vocab, prefixes,
     if "@graph" in node:
         for item in _as_list(node["@graph"]):
             if isinstance(item, dict):
-                _jsonld_node(item, ctx, vocab, prefixes, out)
+                _jsonld_node(item, ctx, vocab, prefixes, out, coerce)
         if len(node) <= 2:  # only @context/@graph
             return None
 
@@ -316,15 +334,19 @@ def _jsonld_node(node: dict, ctx: _Ctx, vocab, prefixes,
         if pred is None:
             continue
         for value in _as_list(raw):
-            _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out)
+            _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out,
+                          as_id=key in coerce, coerce=coerce)
     return subj, kind
 
 
-def _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out) -> None:
+def _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out,
+                  as_id: bool = False,
+                  coerce: frozenset[str] = frozenset()) -> None:
     if isinstance(value, dict):
         if "@list" in value:
             for item in _as_list(value["@list"]):
-                _jsonld_value(subj, pred, item, ctx, vocab, prefixes, out)
+                _jsonld_value(subj, pred, item, ctx, vocab, prefixes, out,
+                              as_id, coerce)
             return
         if "@value" in value:
             lex, dt = _literal_of(value["@value"])
@@ -335,16 +357,24 @@ def _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out) -> None:
             out.append(RawTriple(subj, pred, lex, "literal", dt,
                                  lang if isinstance(lang, str) else None, "jsonld"))
             return
-        ref = _jsonld_node(value, ctx, vocab, prefixes, out)
+        ref = _jsonld_node(value, ctx, vocab, prefixes, out, coerce)
         if ref is not None:
             oid, okind = ref
             out.append(RawTriple(subj, pred, oid, okind, None, None, "jsonld"))
         return
     if isinstance(value, str):
-        # heuristic: URL-shaped strings referencing resources stay literals in
-        # JSON-LD unless the term is @type:@id — pragmatic choice: literal.
-        lex, dt = value, None
-        out.append(RawTriple(subj, pred, lex, "literal", dt, None, "jsonld"))
+        if as_id:  # term declared "@type": "@id" in the context → IRI object
+            o = None
+            if ":" in value:  # CURIE via a declared prefix wins
+                pfx, _, local = value.partition(":")
+                if pfx in prefixes:
+                    o = ctx.to_iri(prefixes[pfx] + local)
+            if o is None:
+                o = ctx.to_iri(value)
+            if o is not None:
+                out.append(RawTriple(subj, pred, o, "iri", None, None, "jsonld"))
+                return
+        out.append(RawTriple(subj, pred, value, "literal", None, None, "jsonld"))
         return
     if value is None:
         return
@@ -456,6 +486,24 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
                     dt = _expand_term(a["datatype"], vocab, prefixes, ctx)
                 lang = a.get("lang") or a.get("xml:lang")
                 out.append(RawTriple(prop_subj, pred, lex, "literal", dt, lang, "rdfa"))
+
+    # RDFa link relations: @rel emits (subject, rel, target); @rev the inverse.
+    # Only CURIEs / absolute terms count (bare HTML rel values like
+    # "stylesheet" have no vocab mapping in RDFa Lite usage and are skipped
+    # unless a @vocab is active).
+    target_ref = a.get("resource") or a.get("href") or a.get("src")
+    if target_ref and (a.get("rel") or a.get("rev")):
+        target = ctx.to_iri(target_ref)
+        rel_subj = new_subj if "about" in a else subj
+        if target is not None and rel_subj is not None:
+            for r in (a.get("rel") or "").split():
+                p = _expand_term(r, vocab, prefixes, ctx)
+                if p:
+                    out.append(RawTriple(rel_subj, p, target, "iri", None, None, "rdfa"))
+            for r in (a.get("rev") or "").split():
+                p = _expand_term(r, vocab, prefixes, ctx)
+                if p:
+                    out.append(RawTriple(target, p, rel_subj, "iri", None, None, "rdfa"))
 
     for ch in node.children:
         if not isinstance(ch, str):
