@@ -74,8 +74,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _values_sql(rows: list[tuple], cols: tuple) -> str:
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    def q(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        return "'" + str(v).replace("'", "''") + "'"
 
     values = ", ".join("(" + ", ".join(q(v) for v in row) + ")" for row in rows)
     return f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})"
@@ -340,12 +344,13 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: approximate; recall vs exact is asserted in tests/
+    # LSH candidates are exact-Jaccard-verified, and on this corpus recall is
+    # 1.0 (asserted in tests/), so the exact n-gram-Jaccard oracle applies.
     from trident_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), n_hashes=64, bands=16, threshold=0.5
-    )
+        _read(spark, sf_dir, "documents"), n_hashes=256, bands=64, threshold=0.5
+    ).select("a", "b")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,12 +452,57 @@ LIMIT 10
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Oracle-green via an exact SQL mirror of the ANN semantics: the
+    # hyperplanes are deterministic constants, so bucket prefilter + exact
+    # rescore is fully expressible in DuckDB (see _ann_lsh_oracle).
     from trident_spark.operators.similarity import lsh_bucket_topk
 
     q = _query_vector(spark, sf_dir)
     return lsh_bucket_topk(
         _read(spark, sf_dir, "embeddings"), q, k=10, n_bits=6, probes=4
+    ).select("vec_id")
+
+
+def _ann_lsh_oracle(n_bits: int = 6, probes: int = 4, k: int = 10,
+                    dim: int = 64, seed: int = 11) -> str:
+    """DuckDB mirror of lsh_bucket_topk: same deterministic hyperplanes
+    (inputs, like conformance vectors), bucket + multiprobe + exact cosine
+    re-expressed in SQL — so the oracle checks the ANN semantics themselves,
+    not a recall assumption."""
+    from trident_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    plane_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(v)) for v in row) + "])"
+        for i, row in enumerate(planes)
     )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+planes(i, p) AS (VALUES {plane_rows}),
+qbits AS (
+  SELECT i,
+         CASE WHEN list_dot_product(p, qv) > 0 THEN 1 ELSE 0 END AS bit,
+         abs(list_dot_product(p, qv)) AS margin
+  FROM planes, q
+),
+base AS (SELECT CAST(SUM(bit * (1 << i)) AS BIGINT) AS b FROM qbits),
+flips AS (SELECT CAST(1 << i AS BIGINT) AS f FROM qbits
+          ORDER BY margin, i LIMIT {probes - 1}),
+probeset AS (
+  SELECT b AS bucket FROM base
+  UNION ALL SELECT xor(b, f) FROM base, flips
+),
+sig AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN list_dot_product(p, embedding) > 0
+                       THEN (1 << i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings, planes GROUP BY vec_id, embedding
+)
+SELECT vec_id FROM sig, q
+WHERE bucket IN (SELECT bucket FROM probeset)
+ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+LIMIT {k}
+"""
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +510,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = _query_vector(spark, sf_dir)
     return ivf_topk(_read(spark, sf_dir, "embeddings"), q, k=10,
-                    n_cells=16, n_probe=4)
+                    n_cells=16, n_probe=4).select("vec_id")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,8 +676,12 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB windowed SUM(int) yields HUGEINT, which pandas renders as
+         -- float64 and the driver then value-hashes 1.0 vs Spark's 1; the
+         -- values are identical, so pin the dtype (CLAUDE.md rule 7)
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -727,9 +781,43 @@ def q_kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from trident_spark.operators.multimodal import extract_features, synthetic_media_df
+    """Multimodal plumbing end-to-end, projected to hashable columns: the
+    raw ``array<float>`` API stays for library users, but the driver's
+    canonicalization sorts every column, so the vector is digested to md5
+    of its float32 bytes (bit-exact, no float formatting)."""
+    from trident_spark.operators.multimodal import (
+        extract_features, feature_digest, synthetic_media_df,
+    )
 
-    return extract_features(synthetic_media_df(spark, 60), feature_dim=8)
+    feats = extract_features(synthetic_media_df(spark, 60), feature_dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("feature").alias("n_dims"),
+        feature_digest(F.col("feature")).alias("feature_digest"),
+        F.coalesce("decode_error", F.lit("")).alias("decode_error"),
+    )
+
+
+def _multimodal_expected_rows(n: int = 60, seed: int = 42,
+                              feature_dim: int = 8) -> list[tuple]:
+    """Independent pure-Python recomputation of the synthetic media features
+    (payload gen → blake2b pseudo-decode → float32 md5), NOT imported from
+    the operator module — this is the oracle."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState((seed << 16) ^ i)
+        kind = ("image", "audio", "video")[i % 3]
+        payload = rng.bytes(256 + (i % 512))
+        digest = hashlib.blake2b(payload, digest_size=32).digest()
+        vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+        md5 = hashlib.md5(vec[:feature_dim].astype(np.float32).tobytes()).hexdigest()
+        rows.append((i, kind, feature_dim, md5, ""))
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -795,6 +883,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        # minhash-LSH candidates are exact-Jaccard-verified and recall is 1.0
+        # on this corpus, so the exact pairwise oracle is the right check
+        "dedup_minhash_lsh": f"SELECT a, b FROM ({_NGRAM_JACCARD_ORACLE}) pairs",
+        "similarity_ann_lsh": _ann_lsh_oracle(),
+        # similarity_ann_ivf stays rows-only: this corpus is unclustered, so
+        # the true top-10 straddle >n_probe cells — IVF recall < 1 is the
+        # honest semantics, verified against exact recall bounds in tests/
+        "multimodal_features": _values_sql(
+            _multimodal_expected_rows(),
+            ("media_id", "kind", "n_dims", "feature_digest", "decode_error"),
+        ),
         "text_token_count": _TOKEN_COUNT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
@@ -805,7 +904,6 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _REGION_REVENUE_ORACLE,
         "events_hourly": _EVENTS_HOURLY_ORACLE,
         "events_sessionized": _EVENTS_SESSION_ORACLE,
-        # rows-only (approximate / iterative / stubbed):
-        # kg_full_pipeline, dedup_minhash_lsh, dedup_simhash, lang_id,
-        # similarity_ann_lsh, multimodal_features
+        # rows-only (approximate / iterative / no SQL-expressible oracle):
+        # kg_full_pipeline, dedup_simhash, lang_id
     }

@@ -96,6 +96,25 @@ def extract_features(media: DataFrame, feature_dim: int = 32) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def feature_digest(feature_col) -> "F.Column":
+    """md5 over the raw float32 bytes of a feature vector — a hashable,
+    bit-exact scalar stand-in for ``array<float>`` columns (driver-side
+    canonicalization cannot sort/hash list cells)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _digest(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            return hashlib.md5(np.asarray(v, dtype=np.float32).tobytes()).hexdigest()
+
+        return vecs.map(one)
+
+    return _digest(feature_col)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata aggregation stays pure Catalyst."""
     return media.groupBy("kind").agg(

@@ -46,14 +46,19 @@ def cosine_similarity_col(vec_col, query: list[float]):
 
 def cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Exact brute-force top-k by cosine to a constant query vector."""
+    """Exact brute-force top-k by cosine to a constant query vector.
+
+    Ordering uses the UNROUNDED cosine (id tiebreak) so top-k membership
+    matches an exact-arithmetic oracle; only the displayed score is rounded.
+    """
     return (
         embeddings.select(
             F.col(id_col),
-            F.round(cosine_similarity_col(F.col(vec_col), query), 4).alias("score"),
+            cosine_similarity_col(F.col(vec_col), query).alias("_score"),
         )
-        .orderBy(F.desc("score"), F.asc(id_col))
+        .orderBy(F.desc("_score"), F.asc(id_col))
         .limit(k)
+        .select(id_col, F.round("_score", 4).alias("score"))
     )
 
 
@@ -89,7 +94,8 @@ def _query_buckets(query: list[float], planes: np.ndarray, probes: int) -> list[
     buckets = [base]
     # multiprobe: flip the bits whose hyperplane margin is smallest
     margins = np.abs(planes @ q)
-    for i in np.argsort(margins)[: max(0, probes - 1)]:
+    # stable sort: tie order must match SQL oracles that ORDER BY (margin, i)
+    for i in np.argsort(margins, kind="stable")[: max(0, probes - 1)]:
         buckets.append(base ^ (1 << int(i)))
     return buckets
 
@@ -110,10 +116,11 @@ def lsh_bucket_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         sigs.where(F.col("bucket").isin(buckets))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity_col(F.col(vec_col), query), 4).alias("score"),
+            cosine_similarity_col(F.col(vec_col), query).alias("_score"),
         )
-        .orderBy(F.desc("score"), F.asc(id_col))
+        .orderBy(F.desc("_score"), F.asc(id_col))
         .limit(k)
+        .select(id_col, F.round("_score", 4).alias("score"))
     )
 
 
@@ -201,9 +208,20 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
                         sample_size: int = 4096, iters: int = 10,
                         seed: int = 13, vec_col: str = "embedding") -> np.ndarray:
     """Deterministic k-means on a driver-side sample (the standard IVF
-    recipe: the codebook is tiny and trained once, then broadcast)."""
+    recipe: the codebook is tiny and trained once, then broadcast).
+
+    The sample is taken in hash order of the vector contents — a bare
+    ``limit(n)`` reads only the first partition(s), which biases the
+    codebook whenever data is partition-correlated (e.g. clustered writes).
+    """
     sample = np.array(
-        [r[0] for r in embeddings.select(vec_col).limit(sample_size).collect()],
+        [
+            r[0]
+            for r in embeddings.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+            .limit(sample_size)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -260,10 +278,11 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         assigned.where(F.col("cell").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity_col(F.col(vec_col), query), 4).alias("score"),
+            cosine_similarity_col(F.col(vec_col), query).alias("_score"),
         )
-        .orderBy(F.desc("score"), F.asc(id_col))
+        .orderBy(F.desc("_score"), F.asc(id_col))
         .limit(k)
+        .select(id_col, F.round("_score", 4).alias("score"))
     )
 
 

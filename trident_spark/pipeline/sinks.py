@@ -49,10 +49,19 @@ def _render_object():
     lit_dt = F.concat(lit, F.lit("^^"), _render_iri(F.col("obj_datatype")))
     return (
         F.when(F.col("obj_kind") == "iri", _render_iri(obj))
+        # non-skolemized frames may still carry blank nodes: emit the bare
+        # _:label — without this branch they'd fall through to the literal
+        # arm and silently serialize as the string "_:b1"
+        .when(F.col("obj_kind") == "blank", obj)
         .when(F.col("obj_lang").isNotNull(), lit_lang)
         .when(F.col("obj_datatype").isNotNull(), lit_dt)
         .otherwise(lit)
     )
+
+
+def _render_subject(col):
+    """Blank subjects (label starts ``_:``) render bare; IRIs bracketed."""
+    return F.when(col.startswith("_:"), col).otherwise(_render_iri(col))
 
 
 def to_ntriples(skolemized: DataFrame) -> DataFrame:
@@ -60,7 +69,7 @@ def to_ntriples(skolemized: DataFrame) -> DataFrame:
     return skolemized.select(
         F.concat_ws(
             " ",
-            _render_iri(F.col("subj")),
+            _render_subject(F.col("subj")),
             _render_iri(F.col("pred")),
             _render_object(),
             F.lit("."),
@@ -132,8 +141,9 @@ def turtle_header(prefixes: dict[str, str] | None = None) -> str:
 # ---------------------------------------------------------------------------
 
 _NT_LINE = re.compile(
-    r"^<(?P<s>[^>]*)> <(?P<p>[^>]*)> "
+    r"^(?:<(?P<s>[^>]*)>|(?P<s_blank>_:[A-Za-z0-9]+)) <(?P<p>[^>]*)> "
     r"(?:<(?P<o_iri>[^>]*)>"
+    r"|(?P<o_blank>_:[A-Za-z0-9]+)"
     r'|"(?P<o_lit>(?:[^"\\]|\\.)*)"'
     r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)"
     r" \.$"
@@ -148,11 +158,14 @@ def parse_ntriples_line(line: str):
     m = _NT_LINE.match(line.strip())
     if not m:
         return None
+    subj = m.group("s") if m.group("s") is not None else m.group("s_blank")
     if m.group("o_iri") is not None:
-        return (m.group("s"), m.group("p"), m.group("o_iri"), "iri", None, None)
+        return (subj, m.group("p"), m.group("o_iri"), "iri", None, None)
+    if m.group("o_blank") is not None:
+        return (subj, m.group("p"), m.group("o_blank"), "blank", None, None)
     raw = m.group("o_lit")
     lex = _UNESCAPE_RE.sub(lambda mm: _UNESCAPE[mm.group(0)], raw)
-    return (m.group("s"), m.group("p"), lex, "literal", m.group("dt"), m.group("lang"))
+    return (subj, m.group("p"), lex, "literal", m.group("dt"), m.group("lang"))
 
 
 NT_PARSED_SCHEMA = (
