@@ -281,6 +281,80 @@ def q_kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL: every typed subject, with its schema:name when one exists
+    (docs have no name → null → coalesced to '' for dtype-stable hashing)."""
+    from trident_spark.query.sparql import query
+
+    res = query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?s ?t ?name WHERE {
+            ?s a ?t .
+            OPTIONAL { ?s schema:name ?name }
+        }
+        """,
+    )
+    return res.select("s", "t", F.coalesce("name", F.lit("")).alias("name")).distinct()
+
+
+_KG_SPARQL_OPTIONAL_ORACLE = f"""
+SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS s,
+       '{SCHEMA}TextDigitalDocument' AS t, '' AS name
+FROM documents
+UNION ALL
+SELECT DISTINCT '{DOC_BASE}/org/' || source, '{SCHEMA}Organization', source
+FROM documents
+"""
+
+
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates + GROUP BY over the graph: subjects per rdf:type."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir).select(
+            "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
+            "obj_lang",
+        ).distinct(),
+        """
+        SELECT ?t (COUNT(?s) AS ?n) WHERE {
+            ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t .
+        } GROUP BY ?t
+        """,
+    )
+
+
+_KG_SPARQL_AGG_ORACLE = f"""
+SELECT '{SCHEMA}TextDigitalDocument' AS t, COUNT(*) AS n FROM documents
+UNION ALL
+SELECT '{SCHEMA}Organization', COUNT(DISTINCT source) FROM documents
+"""
+
+
+def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two disjoint type patterns."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?x WHERE {
+            { ?x a schema:Organization } UNION { ?x a schema:TextDigitalDocument }
+        }
+        """,
+    )
+
+
+_KG_SPARQL_UNION_ORACLE = f"""
+SELECT DISTINCT '{DOC_BASE}/org/' || source AS x FROM documents
+UNION
+SELECT '{DOC_BASE}/doc/' || doc_id FROM documents
+"""
+
+
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted text must round-trip byte-identically per url."""
     from trident_spark.pipeline import extract_stage
@@ -838,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_stats": q_kg_predicate_stats,
         "kg_bgp_provider": q_kg_bgp_provider,
         "kg_sparql_bgp": q_kg_sparql_bgp,
+        "kg_sparql_optional": q_kg_sparql_optional,
+        "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_union": q_kg_sparql_union,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -880,6 +957,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_stats": _KG_PRED_STATS_ORACLE,
         "kg_bgp_provider": _KG_BGP_ORACLE,
         "kg_sparql_bgp": _KG_BGP_ORACLE,
+        "kg_sparql_optional": _KG_SPARQL_OPTIONAL_ORACLE,
+        "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
+        "kg_sparql_union": _KG_SPARQL_UNION_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

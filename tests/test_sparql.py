@@ -119,3 +119,136 @@ def test_ground_pattern_existence_check(spark, graph):
         }
     """)
     assert [r["n"] for r in df.collect()] == ["Acme"]
+
+
+def test_optional_binds_when_present_null_otherwise(spark, graph):
+    # bob's org has a name; add a person with an org that has none
+    extra = spark.createDataFrame(
+        [("http://x/carol", RDF_TYPE, SCHEMA + "Person", "iri", None, None),
+         ("http://x/carol", SCHEMA + "worksFor", "http://x/stealth", "iri",
+          None, None)], COLS)
+    g = graph.union(extra)
+    df = query(g, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p ?on WHERE {
+            ?p schema:worksFor ?o .
+            OPTIONAL { ?o schema:name ?on }
+        } ORDER BY ?p
+    """)
+    got = [(r["p"], r["on"]) for r in df.collect()]
+    assert got == [("http://x/alice", "Acme"), ("http://x/bob", "Globex"),
+                   ("http://x/carol", None)]
+
+
+def test_optional_with_bound_filter(spark, graph):
+    extra = spark.createDataFrame(
+        [("http://x/carol", SCHEMA + "worksFor", "http://x/stealth", "iri",
+          None, None)], COLS)
+    df = query(graph.union(extra), """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p schema:worksFor ?o .
+            OPTIONAL { ?o schema:name ?on }
+            FILTER(!BOUND(?on))
+        }
+    """)
+    assert [r["p"] for r in df.collect()] == ["http://x/carol"]
+
+
+def test_union(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?x WHERE {
+            { ?x a schema:Person } UNION { ?x a schema:Organization }
+        }
+    """)
+    assert {r["x"] for r in df.collect()} == {
+        "http://x/alice", "http://x/bob", "http://x/acme", "http://x/globex"}
+
+
+def test_union_disjoint_vars_align_with_nulls(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?pn ?on WHERE {
+            { ?p a schema:Person . ?p schema:name ?pn }
+            UNION
+            { ?o a schema:Organization . ?o schema:name ?on }
+        }
+    """)
+    got = {(r["pn"], r["on"]) for r in df.collect()}
+    assert got == {("Alice", None), ("Bob", None), (None, "Acme"),
+                   (None, "Globex")}
+
+
+def test_aggregate_count_group_by(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t
+        ORDER BY DESC(?n) ?t
+    """)
+    got = [(r["t"], r["n"]) for r in df.collect()]
+    assert got == [(SCHEMA + "Organization", 2), (SCHEMA + "Person", 2)]
+
+
+def test_aggregate_without_group_by_keys(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT (COUNT(*) AS ?n) WHERE { ?s schema:name ?x }
+    """)
+    assert df.collect()[0]["n"] == 4
+
+
+def test_predicate_object_lists(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?p a schema:Person ; schema:name ?n ; schema:worksFor ?o .
+        } ORDER BY ?n
+    """)
+    assert [r["n"] for r in df.collect()] == ["Alice", "Bob"]
+
+
+def test_filter_nested_parens_and_string_with_operators(spark, graph):
+    # the round-1 regex engine broke on nested parens and rewrote '='/'&&'
+    # inside quoted strings; the tokenizer must survive both
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?s schema:name ?n .
+            FILTER((STRLEN(?n) > 4 || ?n = "Bob") && ?n != "x=1 && y.z")
+        } ORDER BY ?n
+    """)
+    assert [r["n"] for r in df.collect()] == ["Alice", "Bob", "Globex"]
+
+
+def test_filter_string_functions(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?s schema:name ?n .
+            FILTER(STRSTARTS(LCASE(?n), "a") || CONTAINS(?n, "lob"))
+        } ORDER BY ?n
+    """)
+    assert [r["n"] for r in df.collect()] == ["Acme", "Alice", "Globex"]
+
+
+def test_iri_with_dot_in_pattern(spark):
+    # '.' inside <IRI> must not terminate the statement
+    rows = [("http://ex.org/s.1", "http://ex.org/p.x", "v", "literal",
+             None, None)]
+    spark_df = spark.createDataFrame(rows, COLS)
+    df = query(spark_df, """
+        SELECT ?o WHERE { <http://ex.org/s.1> <http://ex.org/p.x> ?o . }
+    """)
+    assert [r["o"] for r in df.collect()] == ["v"]
+
+
+def test_nested_group_joins(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?pn WHERE {
+            ?p schema:name ?pn .
+            { ?p a schema:Person . ?p schema:worksFor ?o }
+        } ORDER BY ?pn
+    """)
+    assert [r["pn"] for r in df.collect()] == ["Alice", "Bob"]
