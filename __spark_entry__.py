@@ -355,6 +355,26 @@ SELECT '{DOC_BASE}/doc/' || doc_id FROM documents
 """
 
 
+def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the doc KG to Turtle and parse it back — fully distributed
+    (each subject block + @prefix header is a self-contained document row).
+    The oracle is the independent SQL reconstruction of the triples, so a
+    round-trip that loses or mangles one term goes red."""
+    from trident_spark.pipeline.sinks import to_turtle, turtle_header
+    from trident_spark.pipeline.turtle import from_turtle
+
+    triples = _distinct_triples(spark, sf_dir)
+    blocks = to_turtle(triples)
+    docs = blocks.select(
+        F.concat(F.lit(turtle_header() + "\n"), F.col("block")).alias("doc")
+    )
+    parsed = from_turtle(docs)
+    return parsed.select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    ).distinct()
+
+
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted text must round-trip byte-identically per url."""
     from trident_spark.pipeline import extract_stage
@@ -915,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional": q_kg_sparql_optional,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
+        "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -960,6 +981,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optional": _KG_SPARQL_OPTIONAL_ORACLE,
         "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
         "kg_sparql_union": _KG_SPARQL_UNION_ORACLE,
+        # round-trip must reproduce the same independent reconstruction
+        "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

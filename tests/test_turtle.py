@@ -1,0 +1,103 @@
+"""Turtle parser tests: unit vectors + serialize→parse→identical-set
+round-trip on real pipeline output (the north-star round-trip suite,
+extended from N-Triples to Turtle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trident_spark.pipeline.sinks import to_turtle, turtle_header
+from trident_spark.pipeline.turtle import TurtleError, from_turtle, parse_turtle
+
+SCHEMA = "https://schema.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_basic_block():
+    got = parse_turtle("""
+        @prefix schema: <https://schema.org/> .
+        <http://x/alice> a schema:Person ;
+            schema:name "Alice" ;
+            schema:knows <http://x/bob>, <http://x/carol> .
+    """)
+    assert set(got) == {
+        ("http://x/alice", RDF_TYPE, SCHEMA + "Person", "iri", None, None),
+        ("http://x/alice", SCHEMA + "name", "Alice", "literal", None, None),
+        ("http://x/alice", SCHEMA + "knows", "http://x/bob", "iri", None, None),
+        ("http://x/alice", SCHEMA + "knows", "http://x/carol", "iri", None, None),
+    }
+
+
+def test_literals_lang_datatype_numbers_booleans():
+    got = parse_turtle("""
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        <http://x/s> <http://x/p> "hi"@en-US ;
+            <http://x/q> "42"^^xsd:integer ;
+            <http://x/r> 7 ;
+            <http://x/t> 3.5 ;
+            <http://x/u> true ;
+            <http://x/v> "esc \\" \\\\ \\n done" .
+    """)
+    d = {(p): (lex, kind, dt, lang) for _, p, lex, kind, dt, lang in got}
+    assert d["http://x/p"] == ("hi", "literal", None, "en-US")
+    assert d["http://x/q"] == ("42", "literal", XSD + "integer", None)
+    assert d["http://x/r"] == ("7", "literal", XSD + "integer", None)
+    assert d["http://x/t"] == ("3.5", "literal", XSD + "decimal", None)
+    assert d["http://x/u"] == ("true", "literal", XSD + "boolean", None)
+    assert d["http://x/v"] == ('esc " \\ \n done', "literal", None, None)
+
+
+def test_base_resolution_and_comments():
+    got = parse_turtle("""
+        @base <http://ex.org/dir/> .   # comment with <fake> and "quote
+        <doc.html#frag> <rel> <../up> .  # trailing comment
+    """)
+    assert got == [("http://ex.org/dir/doc.html#frag", "http://ex.org/dir/rel",
+                    "http://ex.org/up", "iri", None, None)]
+
+
+def test_sparql_style_prefix_and_blank_nodes():
+    got = parse_turtle("""
+        PREFIX s: <http://s/>
+        _:b1 s:p _:b2 .
+    """)
+    assert got == [("_:b1", "http://s/p", "_:b2", "blank", None, None)]
+
+
+def test_errors_are_loud():
+    with pytest.raises(TurtleError):
+        parse_turtle("<http://x/s> <http://x/p> [ <http://x/q> 1 ] .")
+    with pytest.raises(TurtleError):
+        parse_turtle("<http://x/s> undefined:name 1 .")
+    with pytest.raises(TurtleError):
+        parse_turtle("<http://x/s> <http://x/p> .")  # missing object
+
+
+def test_turtle_roundtrip_pipeline_output(spark):
+    from trident_spark.pipeline import extract_stage, kg
+    from trident_spark.pipeline.pages import pages_df
+
+    skol = kg.skolemize(extract_stage.raw_triples(
+        extract_stage.extract_pages(pages_df(spark, 60))))
+    triples = skol.select("subj", "pred", "obj_lexical", "obj_kind",
+                          "obj_datatype", "obj_lang").distinct()
+    blocks = to_turtle(triples)
+    doc = turtle_header() + "\n" + "\n".join(
+        r["block"] for r in blocks.collect())
+    parsed = set(parse_turtle(doc))
+    want = {tuple(r) for r in triples.collect()}
+    assert parsed == want
+
+
+def test_from_turtle_distributed(spark):
+    docs = spark.createDataFrame(
+        [("@prefix s: <http://s/> . <http://x/a> s:p \"1\" .",),
+         ("<http://x/b> <http://s/q> <http://x/c> .",),
+         (None,)],
+        "doc string",
+    )
+    rows = {tuple(r) for r in from_turtle(docs).collect()}
+    assert rows == {
+        ("http://x/a", "http://s/p", "1", "literal", None, None),
+        ("http://x/b", "http://s/q", "http://x/c", "iri", None, None),
+    }

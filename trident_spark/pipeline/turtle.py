@@ -1,0 +1,255 @@
+"""Turtle parser: the inverse of :func:`trident_spark.pipeline.sinks.to_turtle`.
+
+The reference plans "RDF format parsers and serializers"
+(/root/reference/README.md:30-37); N-Triples round-trips shipped in round 1,
+this adds the Turtle reader so existing KGs serialized as Turtle can be
+ingested.  Supported surface (a practical Turtle subset):
+
+- ``@prefix``/``PREFIX`` and ``@base``/``BASE`` directives
+- subject blocks with ``;`` predicate lists and ``,`` object lists
+- ``<IRI>``, prefixed names (``schema:name``), the ``a`` keyword
+- ``"literal"`` with ``\\`` ``\"`` ``\n`` ``\r`` ``\t`` escapes, ``@lang``
+  tags and ``^^`` datatypes (IRI or prefixed)
+- blank node labels ``_:b1``
+- bare integers/decimals/booleans (typed per Turtle spec)
+- ``#`` comments (outside IRIs and strings)
+
+Not supported (raises TurtleError, never silently drops): blank node
+property lists ``[...]``, collections ``(...)``, triple-quoted strings.
+
+Distribution model: one Turtle *document* per DataFrame row (Turtle is not
+line-oriented — a subject block spans lines, and prefixes scope the whole
+document), parsed in one Arrow hop via mapInPandas and exploded to the
+lexical-triple schema.  At 100 TB the unit of parallelism is the document,
+which matches how KG dumps ship (many .ttl files / chunks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class TurtleError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+      <[^>]*>                                           # IRI
+    | "(?:[^"\\]|\\.)*"                                 # string literal
+    | @[A-Za-z][A-Za-z0-9\-]*                           # @prefix/@base/@lang
+    | \^\^                                              # datatype marker
+    | _:[A-Za-z0-9_]+                                   # blank node label
+    | [A-Za-z_][\w\-]*:[\w\-.%]*                        # prefixed name ns:local
+    | :[\w\-.%]*                                        # default-ns pname
+    | [A-Za-z_][\w\-]*                                  # bare word (a, true, PREFIX)
+    | [+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?      # number
+    | [.;,\[\]()]                                       # punctuation
+    """,
+    re.VERBOSE,
+)
+
+_COMMENT_SAFE = re.compile(r'(<[^>]*>|"(?:[^"\\]|\\.)*")|#[^\n]*')
+
+_UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
+
+
+def _strip_comments(text: str) -> str:
+    # comments die only OUTSIDE IRIs and quoted strings
+    return _COMMENT_SAFE.sub(lambda m: m.group(1) or "", text)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks, pos = [], 0
+    text = _strip_comments(text)
+    for m in _TOKEN_RE.finditer(text):
+        gap = text[pos : m.start()]
+        if gap.strip():
+            raise TurtleError(f"cannot tokenize: {gap.strip()[:40]!r}")
+        toks.append(m.group(0))
+        pos = m.end()
+    if text[pos:].strip():
+        raise TurtleError(f"cannot tokenize: {text[pos:].strip()[:40]!r}")
+    return toks
+
+
+_NUMBER_RE = re.compile(r"^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.out: list[tuple] = []
+
+    def _peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        if self.i >= len(self.toks):
+            raise TurtleError("unexpected end of input")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect(self, tok: str):
+        t = self._next()
+        if t != tok:
+            raise TurtleError(f"expected {tok!r}, got {t!r}")
+
+    # -- term resolution ----------------------------------------------------
+
+    def _iri(self, tok: str) -> str:
+        val = tok[1:-1]
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", val):
+            from trident_spark.kernels import iri as K
+
+            val = K.resolve(self.base, val).iri
+        return val
+
+    def _pname(self, tok: str) -> str:
+        pfx, _, local = tok.partition(":")
+        if pfx not in self.prefixes:
+            raise TurtleError(f"undefined prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def _subject(self, tok: str) -> str:
+        if tok.startswith("<"):
+            return self._iri(tok)
+        if tok.startswith("_:"):
+            return tok
+        if ":" in tok:
+            return self._pname(tok)
+        raise TurtleError(f"invalid subject {tok!r}")
+
+    def _predicate(self, tok: str) -> str:
+        if tok == "a":
+            return RDF_TYPE
+        if tok.startswith("<"):
+            return self._iri(tok)
+        if ":" in tok and not tok.startswith("_:"):
+            return self._pname(tok)
+        raise TurtleError(f"invalid predicate {tok!r}")
+
+    def _object(self, tok: str) -> tuple[str, str, str | None, str | None]:
+        """→ (lexical, kind, datatype, lang)."""
+        if tok.startswith("<"):
+            return self._iri(tok), "iri", None, None
+        if tok.startswith("_:"):
+            return tok, "blank", None, None
+        if tok.startswith('"'):
+            lex = _UNESCAPE_RE.sub(lambda m: _UNESCAPE[m.group(0)], tok[1:-1])
+            nxt = self._peek()
+            if nxt is not None and nxt.startswith("@"):
+                return lex, "literal", None, self._next()[1:]
+            if nxt == "^^":
+                self._next()
+                dt_tok = self._next()
+                dt = (self._iri(dt_tok) if dt_tok.startswith("<")
+                      else self._pname(dt_tok))
+                return lex, "literal", dt, None
+            return lex, "literal", None, None
+        if tok in ("true", "false"):
+            return tok, "literal", XSD + "boolean", None
+        if _NUMBER_RE.match(tok):
+            if "e" in tok.lower():
+                return tok, "literal", XSD + "double", None
+            if "." in tok:
+                return tok, "literal", XSD + "decimal", None
+            return tok, "literal", XSD + "integer", None
+        if ":" in tok:
+            return self._pname(tok), "iri", None, None
+        raise TurtleError(f"invalid object {tok!r}")
+
+    # -- statements ---------------------------------------------------------
+
+    def _directive(self, tok: str):
+        up = tok.lstrip("@").upper()
+        sparql_style = not tok.startswith("@")
+        if up == "PREFIX":
+            name = self._next()
+            if not name.endswith(":"):
+                # tokenized as 'ns:' pname with empty local, or bare ':'
+                raise TurtleError(f"bad prefix name {name!r}")
+            iri_tok = self._next()
+            if not iri_tok.startswith("<"):
+                raise TurtleError(f"prefix IRI must be <...>, got {iri_tok!r}")
+            self.prefixes[name[:-1]] = self._iri(iri_tok)
+        elif up == "BASE":
+            iri_tok = self._next()
+            if not iri_tok.startswith("<"):
+                raise TurtleError(f"base IRI must be <...>, got {iri_tok!r}")
+            self.base = iri_tok[1:-1]
+        else:
+            raise TurtleError(f"unknown directive {tok!r}")
+        if not sparql_style:
+            self._expect(".")
+
+    def parse(self) -> list[tuple]:
+        while self.i < len(self.toks):
+            tok = self._next()
+            if tok in ("[", "("):
+                raise TurtleError(
+                    "blank node property lists / collections not supported")
+            up = tok.lstrip("@").upper()
+            if up in ("PREFIX", "BASE") and (
+                tok.startswith("@") or not tok.startswith("_:")
+            ):
+                self._directive(tok)
+                continue
+            subj = self._subject(tok)
+            while True:  # predicate-object list
+                pred = self._predicate(self._next())
+                while True:  # object list
+                    lex, kind, dt, lang = self._object(self._next())
+                    self.out.append((subj, pred, lex, kind, dt, lang))
+                    if self._peek() == ",":
+                        self._next()
+                        continue
+                    break
+                if self._peek() == ";":
+                    self._next()
+                    if self._peek() in (".", None):  # dangling ';'
+                        break
+                    continue
+                break
+            self._expect(".")
+        return self.out
+
+
+def parse_turtle(text: str) -> list[tuple]:
+    """Turtle document → [(subj, pred, obj_lexical, obj_kind, obj_datatype,
+    obj_lang)].  Raises TurtleError on anything outside the supported
+    subset — never silently drops statements."""
+    return _Parser(_tokenize(text)).parse()
+
+
+TURTLE_PARSED_SCHEMA = (
+    "subj string, pred string, obj_lexical string, obj_kind string, "
+    "obj_datatype string, obj_lang string"
+)
+
+
+def from_turtle(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """docs(doc string) — one Turtle document per row → parsed triples."""
+
+    def run(iterator):
+        cols = ["subj", "pred", "obj_lexical", "obj_kind",
+                "obj_datatype", "obj_lang"]
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for text in pdf[doc_col]:
+                if text:
+                    rows.extend(parse_turtle(text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, TURTLE_PARSED_SCHEMA)
