@@ -169,6 +169,57 @@ def test_lang_id(spark):
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
 
 
+def test_lang_id_accuracy_on_held_out_sentences():
+    """Held-out sentences (not in the embedded seed corpora) across all 11
+    supported languages: accuracy must be ≥0.9."""
+    from trident_spark.operators.textstats import _classify
+
+    cases = {
+        "en": ["we should know more about what they said there",
+               "it would have been the same for all of them"],
+        "de": ["ich habe über diese dinge nicht gesprochen weil es gut war",
+               "sie waren dort und wir haben das gleiche gesagt"],
+        "fr": ["nous avons dit que ce n'était pas la même chose",
+               "il y a plus d'une façon de faire les choses"],
+        "es": ["esto es lo que dijimos cuando estaban allí",
+               "hay más de una manera de hacer estas cosas"],
+        "pt": ["isto é o que dissemos quando eles estavam lá",
+               "você deveria saber sobre essas coisas agora"],
+        "it": ["questo è quello che abbiamo detto quando erano lì",
+               "c'è più di un modo per fare queste cose"],
+        "nl": ["dit is wat we zeiden toen ze daar waren",
+               "er is meer dan één manier om het te doen"],
+        "zh": ["这是一个中文句子用来测试语言识别功能"],
+        "ja": ["これは日本語のテスト文です、言語識別のために"],
+        "ko": ["이것은 언어 식별을 위한 한국어 테스트 문장입니다"],
+        "ru": ["это русское предложение для проверки определения языка"],
+    }
+    ok = tot = 0
+    for lang, sents in cases.items():
+        for s in sents:
+            tot += 1
+            ok += _classify(s) == lang
+    assert ok / tot >= 0.9, f"accuracy {ok}/{tot}"
+
+
+def test_lang_id_on_driver_corpus_is_english(spark):
+    """The driver corpus' text is English-like SQL keywords under every
+    ``lang`` label (label ⟂ text; measured nearest-centroid split accuracy
+    0.23 ≈ chance priors), so matching the lang column is impossible in
+    principle; the honest check is that the classifier sees Latin-script,
+    majority-English text."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+    counts = {r["predicted_lang"]: r["n"] for r in
+              textstats.lang_id(docs).groupBy("predicted_lang")
+              .agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    # SQL keywords are weak English: demand a clear plurality of 'en' and
+    # zero non-Latin / undetermined predictions, not per-doc certainty
+    assert counts.get("en", 0) / n >= 0.5, counts
+    assert not set(counts) & {"zh", "ja", "ko", "ru", "und"}, counts
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media_df(spark, n=30)
     feats = multimodal.extract_features(media, feature_dim=16)
