@@ -136,3 +136,128 @@ def test_html_link_rel_without_vocab_ignored():
     t = _triples('<link rel="stylesheet" href="/style.css">'
                  '<a rel="nofollow" href="http://x/other">x</a>')
     assert t == []
+
+
+# ---------------------------------------------------------------------------
+# Fast-parser differential gate (CLAUDE.md rule 8 applied to HTML parsing):
+# parse_html (regex tokenizer) must build the same tree as parse_html_ref
+# (stdlib html.parser) over the corpora, handwritten edge cases, and an
+# HTML-shaped fuzz domain.  Divergence is only tolerated on raw line noise
+# (documented in the parse_html docstring).
+# ---------------------------------------------------------------------------
+
+import random
+
+from trident_spark.kernels.extract import parse_html, parse_html_ref
+
+
+def _tree_sig(root):
+    out = []
+
+    def walk(n, d):
+        out.append((d, n.tag, tuple(sorted((k, v) for k, v in n.attrs.items()))))
+        buf = []
+
+        def flush():
+            if buf:
+                out.append((d + 1, "#text", "".join(buf)))
+                buf.clear()
+
+        for ch in n.children:
+            if isinstance(ch, str):
+                buf.append(ch)
+            else:
+                flush()
+                walk(ch, d + 1)
+        flush()
+
+    walk(root, 0)
+    return out
+
+
+_EDGE_CASES = [
+    '<p>a &amp; b &lt;x&gt; &#65; &#x42;</p>',
+    '<!-- c --><p>x</p><!-- unterminated',
+    '<!DOCTYPE html><html><body><p>t</p></body></html>',
+    '<script>if (a<b && c>d) { "</div>" }</script><p>after</p>',
+    '<script type="application/ld+json">{"a": "<b>"}</script>',
+    '<style>p > a { color: red }</style>',
+    '<div/><span>x</span>',
+    '<p>1 < 2 and 3 > 2</p>',
+    '<img src="x.png" alt="a&quot;b"><br><hr>',
+    '<div class=unquoted id="q" disabled>t</div>',
+    '<div><span>unclosed',
+    '<p>text</p></div></p>extra',
+    '<a href="/x?a=1&amp;b=2">l</a>',
+    '<A HREF="X">upper</A>',
+    '<div  a = "1"  b=2 >s</div>',
+    '<?xml version="1.0"?><p>pi</p>',
+    '<![CDATA[raw <b> stuff]]><p>y</p>',
+    '<![CDATA[unterminated raw',
+    '<p>trailing<',
+    '<p>trailing<div',
+    '<title>a <b> c</title>',
+    '<svg><path d="M0,0"/></svg>',
+    '<script>no close tag',
+    '<style>unclosed style',
+    '<br/><input type="text" value=""/>',
+    '</p>only end',
+    '',
+    'plain text only & entity &gt;',
+    '<div a="x" a="y">dup</div>',
+    '<!doctype',
+    '<?pi unterminated',
+    '<a href=http://x/>t</a>',
+    '</><p>q</p>',
+    '</ ><i>j</i>',
+    '<base href="/sub/"><a href="rel">r</a>',
+]
+
+
+def test_fast_parser_matches_ref_on_edge_cases():
+    for case in _EDGE_CASES:
+        assert _tree_sig(parse_html(case)) == _tree_sig(parse_html_ref(case)), case
+
+
+def test_fast_parser_matches_ref_on_corpus():
+    from trident_spark.pipeline.pages import gen_page
+
+    for i in range(1, 501):
+        h = gen_page(i)["html"].decode()
+        assert _tree_sig(parse_html(h)) == _tree_sig(parse_html_ref(h)), i
+
+
+def _rnd_html(rng, depth=0):
+    tags = ["div", "p", "span", "a", "b", "script", "style", "img", "br",
+            "base", "title"]
+    parts = []
+    for _ in range(rng.randint(1, 4)):
+        r = rng.random()
+        if r < 0.35 or depth > 3:
+            parts.append(rng.choice(
+                ["text & stuff", "a<b", "x &amp; y", "1 < 2", "&#65;b",
+                 "plain", "tail<", "'quote\"s'"]))
+        elif r < 0.45:
+            parts.append("<!-- comment <fake> -->")
+        else:
+            t = rng.choice(tags)
+            attrs = ""
+            if rng.random() < 0.6:
+                attrs = ' href="/x/%d" data-v=%d' % (rng.randint(0, 9),
+                                                     rng.randint(0, 9))
+            if rng.random() < 0.1:
+                attrs += " itemscope"
+            inner = _rnd_html(rng, depth + 1)
+            if rng.random() < 0.15:
+                parts.append(f"<{t}{attrs}>{inner}")  # unclosed
+            elif rng.random() < 0.1:
+                parts.append(f"<{t}{attrs}/>{inner}")  # self-closing
+            else:
+                parts.append(f"<{t}{attrs}>{inner}</{t}>")
+    return "".join(parts)
+
+
+def test_fast_parser_matches_ref_on_html_shaped_fuzz():
+    for k in range(1500):
+        s = _rnd_html(random.Random(k))
+        assert _tree_sig(parse_html(s)) == _tree_sig(parse_html_ref(s)), repr(s)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import NamedTuple
 
@@ -142,13 +143,149 @@ class _TreeBuilder(HTMLParser):
             self.cur.children.append(data)
 
 
-def parse_html(html: bytes | str) -> Node:
+def parse_html_ref(html: bytes | str) -> Node:
+    """Reference tree builder on stdlib html.parser — the behavioral oracle
+    for the fast path (tests/test_extract_kernel.py differential test)."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     tb = _TreeBuilder()
     tb.feed(html)
     tb.close()
     return tb.root
+
+
+# fast tokenizer: one compiled regex finds every markup construct; the text
+# between matches is character data.  Mirrors html.parser's observable
+# behavior for our Node tree (lowercased tags/attrs, unescaped values,
+# script/style as raw text, comments/doctype/PIs dropped, bare '<' as text).
+_MARKUP_RE = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)                            # comment (or unterminated)
+      | !\[CDATA\[.*?(?:\]\]>|$)                   # CDATA section
+      | ![^>]*>?                                   # doctype / declaration
+      | \?[^>]*>?                                  # processing instruction
+      | /(?P<end>[a-zA-Z][^\t\n\r\f />]*)[^>]*>    # end tag (tolerant name)
+      | /[^a-zA-Z>][^>]*>                          # bogus end tag → skipped
+      | />                                         # bare '</>' → skipped
+      | (?P<start>[a-zA-Z][^\t\n\r\f />]*)         # start tag (tolerant name)
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>])*)>      # attrs (quote-aware)
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+# html.parser's attrfind_tolerant, so attribute splitting on messy markup
+# matches the reference tree builder
+_ATTR_RE = re.compile(
+    r"""((?<=['"\s/])[^\s/>][^\s/=>]*)
+        (\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?""",
+    re.VERBOSE,
+)
+
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script[^>]*>", re.IGNORECASE),
+    "style": re.compile(r"</style[^>]*>", re.IGNORECASE),
+}
+
+
+# attr strings repeat across a crawl (the same '<script type="...">',
+# '<meta charset=...>' on every page) → memoize the parse.  The cached dict
+# is shared between nodes; extraction code only reads attrs, never mutates.
+_ATTRS_CACHE: dict[str, tuple[dict, bool]] = {}
+_ATTRS_CACHE_MAX = 100_000
+
+
+def _parse_attrs_cached(s: str) -> tuple[dict, bool]:
+    hit = _ATTRS_CACHE.get(s)
+    if hit is None:
+        hit = _parse_attrs(s)
+        if len(_ATTRS_CACHE) < _ATTRS_CACHE_MAX:
+            _ATTRS_CACHE[s] = hit
+    return hit
+
+
+def _parse_attrs(s: str) -> tuple[dict, bool]:
+    """→ (attrs, self_closing).  Self-closing means a '/' remains AFTER the
+    last attribute — an unquoted value like href=http://x/ swallows its
+    trailing slash exactly as html.parser's attrfind does."""
+    attrs = {}
+    last_end = 0
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        v = m.group(3)
+        if m.group(2) is None:
+            attrs[name] = None
+        else:
+            if v[:1] in "\"'":
+                v = v[1:-1]
+            attrs[name] = unescape(v) if "&" in v else v
+        last_end = m.end()
+    return attrs, s[last_end:].strip() == "/"
+
+
+def parse_html(html: bytes | str) -> Node:
+    """Fast regex-tokenizer tree builder (~3× html.parser); behavior-
+    equivalent to :func:`parse_html_ref`, enforced by a differential test
+    over the synthetic corpora plus handwritten edge cases."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    root = Node("#root", {}, None)
+    cur = root
+    pos, n = 0, len(html)
+    while pos < n:
+        m = _MARKUP_RE.search(html, pos)
+        if m is None:
+            data = html[pos:]
+            if data:
+                cur.children.append(unescape(data) if "&" in data else data)
+            break
+        if m.start() > pos:
+            data = html[pos : m.start()]
+            cur.children.append(unescape(data) if "&" in data else data)
+        tok = m.group(0)
+        if m.end() == n and tok[1] in "!?" and not (
+            tok.endswith("-->") if tok.startswith("<!--")
+            else tok.endswith("]]>") if tok.startswith("<![CDATA[")
+            else tok.endswith(">")
+        ):
+            # unterminated comment/declaration/PI at EOF: html.parser emits
+            # the raw tail as character data — match it
+            cur.children.append(unescape(tok) if "&" in tok else tok)
+            break
+        pos = m.end()
+        tag = m.group("start")
+        if tag is not None:
+            tag = tag.lower()
+            raw_attrs = m.group("attrs")
+            if raw_attrs:
+                attrs, self_closing = _parse_attrs_cached(raw_attrs)
+            else:
+                attrs, self_closing = {}, False
+            node = Node(tag, attrs, cur)
+            cur.children.append(node)
+            if tag in _RAWTEXT_CLOSE and not self_closing:
+                # CDATA content element: raw text until the literal close
+                # tag; with no close tag html.parser DROPS the tail — match
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if cm:
+                    if cm.start() > pos:
+                        node.children.append(html[pos : cm.start()])
+                    pos = cm.end()
+                else:
+                    pos = n
+            elif tag not in _VOID_TAGS and not self_closing:
+                cur = node
+            continue
+        end_tag = m.group("end")
+        if end_tag is not None:
+            end_tag = end_tag.lower()
+            nn = cur
+            while nn is not root:
+                if nn.tag == end_tag:
+                    cur = nn.parent
+                    break
+                nn = nn.parent
+        # comments / doctype / PI / CDATA: dropped
+    return root
 
 
 _WS_RE = re.compile(r"\s+")
@@ -638,7 +775,11 @@ _SVO_PATTERNS = [
 
 
 def extract_svo(text: str) -> list[tuple[str, str, str]]:
-    """Deterministic (subject, predicate, object) mentions from plain text."""
+    """Deterministic (subject, predicate, object) mentions from plain text.
+
+    One independent pass per pattern (overlapping matches across patterns
+    are allowed — a combined single-scan alternation would consume spans
+    and silently drop cross-pattern overlaps)."""
     found = []
     for pattern, pred in _SVO_PATTERNS:
         for m in pattern.finditer(text):
@@ -664,26 +805,34 @@ def extract_page(
     Returns (triples, extracted_text, error).  Never raises: a malformed page
     yields ([], "", message).
     """
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
     try:
         root = parse_html(html)
-    except Exception as e:  # noqa: BLE001 — defensive: html.parser edge cases
+    except Exception as e:  # noqa: BLE001 — defensive: parser edge cases
         return [], "", f"html parse error: {e}"
 
     ctx = _Ctx(url)
-    # honour <base href>
-    for node in root.iter():
-        if node.tag == "base" and node.attrs.get("href"):
-            ctx.set_base(node.attrs["href"])
-            break
+    # honour <base href> — byte-prefilter before walking the whole tree
+    # (the walk costs more than the whole-page substring check and <base>
+    # is rare on real crawls)
+    if "<base" in html:
+        for node in root.iter():
+            if node.tag == "base" and node.attrs.get("href"):
+                ctx.set_base(node.attrs["href"])
+                break
 
     page_subj = ctx.to_iri("") if ctx.base is not None else None
 
     out: list[RawTriple] = []
-    if do_jsonld:
+    # per-extractor byte prefilters: a page with no marker substring cannot
+    # produce triples for that extractor, so skip its full-tree walk
+    if do_jsonld and "ld+json" in html:
         _extract_jsonld(root, ctx, out)
-    if do_rdfa:
+    if do_rdfa and ("typeof" in html or "property" in html or "about" in html
+                    or "vocab" in html):
         _extract_rdfa(root, ctx, page_subj, out)
-    if do_microdata:
+    if do_microdata and "itemscope" in html:
         _extract_microdata(root, ctx, out)
 
     text = extract_text(root)
