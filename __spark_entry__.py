@@ -864,7 +864,12 @@ FROM t
 
 def q_kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline incl. linking + connected components on the synthetic
-    web corpus (pages synthesized deterministically per north rule)."""
+    web corpus (pages synthesized deterministically per north rule).
+
+    Oracle: an independent pure-Python reimplementation of the same
+    semantics (spec-derived triples, linking rules, union-find CC,
+    pure-Python Spark-compatible xxhash64 ids) — pipeline/golden.py —
+    emitted as a VALUES table, covering C11-C14 end-to-end."""
     from trident_spark.pipeline import build_kg
     from trident_spark.pipeline.alias_dict import alias_dict_df
     from trident_spark.pipeline.pages import pages_df
@@ -872,6 +877,13 @@ def q_kg_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_df(spark, 200)
     result = build_kg(pages, alias_dict=alias_dict_df(spark))
     return result.triples.select("subj_id", "pred_id", "obj_id")
+
+
+def _kg_full_pipeline_oracle() -> str:
+    from trident_spark.pipeline.golden import full_pipeline_golden_ids
+
+    return _values_sql(full_pipeline_golden_ids(200),
+                       ("subj_id", "pred_id", "obj_id"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "kg_full_pipeline": _kg_full_pipeline_oracle(),
         # minhash-LSH candidates are exact-Jaccard-verified and recall is 1.0
         # on this corpus, so the exact pairwise oracle is the right check
         "dedup_minhash_lsh": f"SELECT a, b FROM ({_NGRAM_JACCARD_ORACLE}) pairs",
@@ -1008,5 +1021,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_ORACLE,
         "events_sessionized": _EVENTS_SESSION_ORACLE,
         # rows-only (approximate / iterative / no SQL-expressible oracle):
-        # kg_full_pipeline, dedup_simhash, lang_id
+        # dedup_simhash, lang_id
     }

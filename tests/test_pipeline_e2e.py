@@ -163,3 +163,36 @@ def test_literal_lang_normalization(spark):
     out = {r["obj_lexical"]: r["obj_lang"]
            for r in kg.normalize_literal_langs(df).collect()}
     assert out == {"hallo": "en-US", "qapla": "tlh", "x": None, "A": None}
+
+
+def test_full_pipeline_matches_python_golden(spark):
+    """build_kg (extract → link → CC → encode → dedup) must reproduce the
+    independent pure-Python golden (pipeline/golden.py) exactly."""
+    from trident_spark.pipeline import build_kg
+    from trident_spark.pipeline.alias_dict import alias_dict_df
+    from trident_spark.pipeline.golden import full_pipeline_golden_ids
+    from trident_spark.pipeline.pages import pages_df
+
+    result = build_kg(pages_df(spark, 120), alias_dict=alias_dict_df(spark))
+    got = sorted((r[0], r[1], r[2]) for r in
+                 result.triples.select("subj_id", "pred_id", "obj_id").collect())
+    assert got == full_pipeline_golden_ids(120)
+
+
+def test_python_xxhash64_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from trident_spark.util_xxhash import spark_xxhash64
+
+    rows = [("", None), ("a", "b"), ("k" * 31, "v" * 40),
+            ("iri", "https://schema.org/name"), ("ünïcødé ✓", "x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(F.xxhash64("a", "b").alias("h2"),
+                    F.xxhash64("a").alias("h1")).collect()
+    for (a, b), r in zip(rows, got):
+        assert r["h2"] == spark_xxhash64(a, b)
+        assert r["h1"] == spark_xxhash64(a)
+    longs = [0, 1, -5, 2**62, -(2**62)]
+    dfl = spark.createDataFrame([(x,) for x in longs], "x long")
+    for x, r in zip(longs, dfl.select(F.xxhash64("x").alias("h")).collect()):
+        assert r["h"] == spark_xxhash64(x)
