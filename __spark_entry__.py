@@ -448,9 +448,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole block-join candidates + popcount verify: exact by
+    construction (any pair within Hamming k shares one of k+1 blocks), so
+    the quadratic SQL mirror below is a true oracle.  Token hashes are
+    md5-derived specifically so DuckDB can recompute the signatures."""
     from trident_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_DEDUP_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks
+), votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM h, range(64) t(i) GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN ones * 2 >= n
+                  THEN CASE WHEN i = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << i) END
+                  ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash-LSH candidates are exact-Jaccard-verified and recall is 1.0
         # on this corpus, so the exact pairwise oracle is the right check
         "dedup_minhash_lsh": f"SELECT a, b FROM ({_NGRAM_JACCARD_ORACLE}) pairs",
+        "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
         "similarity_ann_lsh": _ann_lsh_oracle(),
         # similarity_ann_ivf stays rows-only: this corpus is unclustered, so
         # the true top-10 straddle >n_probe cells — IVF recall < 1 is the
@@ -1020,6 +1051,8 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _REGION_REVENUE_ORACLE,
         "events_hourly": _EVENTS_HOURLY_ORACLE,
         "events_sessionized": _EVENTS_SESSION_ORACLE,
-        # rows-only (approximate / iterative / no SQL-expressible oracle):
-        # dedup_simhash, lang_id
+        # rows-only (approximate / no meaningful oracle):
+        # lang_id (corpus labels are label⟂text noise — see textstats.lang_id),
+        # similarity_ann_ivf (unclustered corpus: IVF recall <1 is the
+        # honest semantics; recall bounds asserted in tests/)
     }
