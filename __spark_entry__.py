@@ -186,6 +186,55 @@ def q_langtag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("tag", langtag_parse("tag")["tag"].alias("wellformed"))
 
 
+def q_iri_parse_wellformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact storage of valid IRI-references (reference Ref contract:
+    the stored string is exactly the input, iri/iri.go:71-84)."""
+    from trident_spark.conformance import PARSE_VALID_REFS
+    from trident_spark.functions.iri_funcs import iri_parse
+
+    df = spark.createDataFrame([(v,) for v in PARSE_VALID_REFS], "input string")
+    p = iri_parse("input")
+    return df.select("input", p["iri"].alias("stored"),
+                     p["error"].isNull().alias("valid"))
+
+
+def q_iri_reject_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trident_spark.conformance import PARSE_INVALID_REFS
+    from trident_spark.functions.iri_funcs import iri_parse
+
+    df = spark.createDataFrame([(v,) for v in PARSE_INVALID_REFS], "input string")
+    return df.select(
+        "input", iri_parse("input")["error"].isNotNull().alias("rejected"))
+
+
+def q_langtag_reject_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection tables for both modes: Parse (well-formedness) and
+    ParseAndNormalize (registry validity)."""
+    from trident_spark.conformance import (
+        LANGTAG_NORMALIZE_INVALID, LANGTAG_PARSE_INVALID,
+    )
+    from trident_spark.functions.langtag_funcs import (
+        langtag_normalize, langtag_parse,
+    )
+
+    p = spark.createDataFrame(
+        [(t, "parse") for t in LANGTAG_PARSE_INVALID], "tag string, mode string"
+    ).select("tag", "mode", langtag_parse("tag")["error"].isNotNull().alias("rejected"))
+    v = spark.createDataFrame(
+        [(t, "normalize") for t in LANGTAG_NORMALIZE_INVALID], "tag string, mode string"
+    ).select("tag", "mode",
+             langtag_normalize("tag")["error"].isNotNull().alias("rejected"))
+    return p.unionByName(v)
+
+
+def q_langtag_extlang_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trident_spark.conformance import EXTLANG_FORM_CASES
+    from trident_spark.functions.langtag_funcs import langtag_to_extlang
+
+    df = spark.createDataFrame([(t,) for t, _ in EXTLANG_FORM_CASES], "tag string")
+    return df.select("tag", langtag_to_extlang("tag")["tag"].alias("extlang_form"))
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (oracle reconstructs triples from documents in SQL)
 # ---------------------------------------------------------------------------
@@ -970,6 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iri_relativize": q_iri_relativize,
         "langtag_normalize_rfc5646": q_langtag_normalize,
         "langtag_parse_rfc5646": q_langtag_parse,
+        "iri_parse_wellformed": q_iri_parse_wellformed,
+        "iri_reject_invalid": q_iri_reject_invalid,
+        "langtag_reject_invalid": q_langtag_reject_invalid,
+        "langtag_extlang_form": q_langtag_extlang_form,
         "kg_doc_triples": q_kg_doc_triples,
         "kg_predicate_stats": q_kg_predicate_stats,
         "kg_bgp_provider": q_kg_bgp_provider,
@@ -1004,6 +1057,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _iri_parse_wellformed_oracle() -> str:
+    from trident_spark.conformance import PARSE_VALID_REFS
+
+    return _values_sql([(v, v, True) for v in PARSE_VALID_REFS],
+                       ("input", "stored", "valid"))
+
+
+def _reject_oracle_iri() -> str:
+    from trident_spark.conformance import PARSE_INVALID_REFS
+
+    return _values_sql([(v, True) for v in PARSE_INVALID_REFS],
+                       ("input", "rejected"))
+
+
+def _reject_oracle_langtag() -> str:
+    from trident_spark.conformance import (
+        LANGTAG_NORMALIZE_INVALID, LANGTAG_PARSE_INVALID,
+    )
+
+    rows = [(t, "parse", True) for t in LANGTAG_PARSE_INVALID]
+    rows += [(t, "normalize", True) for t in LANGTAG_NORMALIZE_INVALID]
+    return _values_sql(rows, ("tag", "mode", "rejected"))
+
+
+def _extlang_oracle() -> str:
+    from trident_spark.conformance import EXTLANG_FORM_CASES
+
+    return _values_sql(list(EXTLANG_FORM_CASES), ("tag", "extlang_form"))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "iri_resolve_rfc3986": _values_sql(_iri_resolve_vectors(), ("rel", "resolved")),
@@ -1013,6 +1096,10 @@ def oracle_sql() -> dict[str, str]:
         "iri_relativize": _values_sql(_relativize_vectors(), ("base", "target", "rel")),
         "langtag_normalize_rfc5646": _values_sql(_langtag_vectors(), ("tag", "canonical")),
         "langtag_parse_rfc5646": _values_sql(_langtag_parse_vectors(), ("tag", "wellformed")),
+        "iri_parse_wellformed": _iri_parse_wellformed_oracle(),
+        "iri_reject_invalid": _reject_oracle_iri(),
+        "langtag_reject_invalid": _reject_oracle_langtag(),
+        "langtag_extlang_form": _extlang_oracle(),
         "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
         "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,
         "events_salted_counts": _EVENTS_SALTED_ORACLE,

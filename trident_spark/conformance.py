@@ -151,3 +151,54 @@ LANGTAG_NORMALIZE_OK = [
     ("is-Latn", "is"),
     ("SR-LATN-rs", "sr-Latn-RS"),
 ]
+
+# valid IRI-references, byte-exact storage (iri/iri_test.go:265-282)
+PARSE_VALID_REFS = [
+    "http://example.com/p?q#f",
+    "a:b/c",
+    "a/b/c",
+    "/a/b/c",
+    "//example.com/path",
+    "",
+    "#fragment",
+    "?query",
+    "urn:isbn:0451450523",
+    "http://例子.com/résumé",
+    "a:b",
+]
+
+# invalid IRI-references that must be rejected (iri/iri_test.go:301-310)
+PARSE_INVALID_REFS = [
+    "1http://example.com",      # invalid scheme start / ':' in first segment
+    "scheme:..//path",          # path may not start with // without authority
+    "http://example.com/%GG",   # invalid percent encoding
+]
+
+# not-well-formed tags, Parse mode (langtag/langtag_test.go:704-710)
+LANGTAG_PARSE_INVALID = [
+    "en_US",              # forbidden character
+    "en--US",             # empty subtag
+    "verylongsubtag-en",  # subtag too long
+    "x-",                 # empty private use
+    "en-a-",              # empty extension
+    "en-a-b-foo",         # empty extension sequence
+]
+
+# well-formed but invalid tags, normalize mode (langtag/langtag_test.go:749-755)
+LANGTAG_NORMALIZE_INVALID = [
+    "zz-US",                 # invalid language subtag
+    "en-BOGUS",              # invalid region subtag
+    "de-419-DE",             # two region tags
+    "de-DE-1901-1901",       # duplicate variant
+    "ar-a-aaa-b-bbb-a-ccc",  # duplicate singleton
+    "zh-gan-gan",            # too many extlangs
+]
+
+# canonical → extlang form, RFC 5646 §4.5 (langtag/langtag_test.go:774-815)
+EXTLANG_FORM_CASES = [
+    ("hak-CN", "zh-hak-CN"),
+    ("yue", "zh-yue"),
+    ("en-US", "en-US"),          # not an extlang: no-op
+    ("zh-hak-CN", "zh-hak-CN"),  # already extlang form
+    ("x-my-tag", "x-my-tag"),    # private use: no-op
+]
