@@ -43,9 +43,17 @@ def main() -> None:
                     help="skip buckets already recorded in <output>/lineage")
     ap.add_argument("--no-linking", action="store_true")
     ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--table-format", choices=("parquet", "iceberg"),
+                    default="parquet",
+                    help="iceberg requires --catalog and the Iceberg "
+                         "runtime jar on the cluster classpath")
+    ap.add_argument("--catalog", help="Iceberg catalog name (see "
+                    "trident_spark.pipeline.catalog for the spark-submit "
+                    "--conf incantation)")
     args = ap.parse_args()
 
     from trident_spark.pipeline import build_kg, lineage
+    from trident_spark.pipeline.catalog import Sink
     from trident_spark.pipeline.alias_dict import alias_dict_df
     from trident_spark.pipeline.pages import pages_df
     from trident_spark.pipeline.sinks import to_ntriples
@@ -53,6 +61,8 @@ def main() -> None:
 
     spark = get_spark(app_name="trident-spark-kg")
     out = args.output.rstrip("/")
+    sink = Sink(spark, out, table_format=args.table_format,
+                catalog=args.catalog)
 
     if args.synthetic:
         pages = pages_df(spark, args.synthetic)
@@ -61,7 +71,7 @@ def main() -> None:
 
     if args.resume:
         try:
-            lin = spark.read.parquet(f"{out}/lineage")
+            lin = sink.read("lineage")
             pages = lineage.resume_filter(pages, lin, "triples", args.n_buckets)
             print(f"resume: {pages.count()} pages remain", file=sys.stderr)
         except Exception:  # noqa: BLE001 — first run: no lineage table yet
@@ -71,14 +81,13 @@ def main() -> None:
     t0 = time.monotonic()
     result = build_kg(pages, alias_dict=alias)
 
-    result.terms.write.mode("append").parquet(f"{out}/terms")
-    result.triples.write.mode("append").parquet(f"{out}/triples")
+    sink.write(result.terms, "terms")
+    sink.write(result.triples, "triples")
     to_ntriples(result.skolemized).write.mode("append").text(f"{out}/ntriples")
-    lineage.compute_lineage(
-        result.skolemized, "triples", args.n_buckets
-    ).write.mode("append").parquet(f"{out}/lineage")
+    sink.write(lineage.compute_lineage(result.skolemized, "triples",
+                                       args.n_buckets), "lineage")
 
-    n_triples = spark.read.parquet(f"{out}/triples").count()
+    n_triples = sink.read("triples").count()
     n_bad = result.page_results.where("NOT text_ok").count()
     elapsed = time.monotonic() - t0
     print(json.dumps({

@@ -196,3 +196,70 @@ def test_python_xxhash64_matches_spark(spark):
     dfl = spark.createDataFrame([(x,) for x in longs], "x long")
     for x, r in zip(longs, dfl.select(F.xxhash64("x").alias("h")).collect()):
         assert r["h"] == spark_xxhash64(x)
+
+
+def test_sink_parquet_roundtrip(spark, tmp_path):
+    from trident_spark.pipeline.catalog import Sink
+
+    sink = Sink(spark, str(tmp_path))
+    df = spark.range(5).withColumnRenamed("id", "x")
+    sink.write(df, "t", mode="overwrite")
+    sink.write(df, "t", mode="append")
+    assert sink.read("t").count() == 10
+
+
+def test_sink_iceberg_api_calls(spark, monkeypatch):
+    """The Iceberg path can't run in the sandbox (no runtime jar); verify
+    the DataFrameWriterV2 call sequence with a recording stub instead."""
+    from trident_spark.pipeline.catalog import Sink
+
+    calls = []
+
+    class FakeWriterV2:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", self.ident, len(cols)))
+            return self
+
+        def create(self):
+            calls.append(("create", self.ident))
+
+        def append(self):
+            calls.append(("append", self.ident))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.ident))
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ident))
+
+    df = spark.range(1)
+    # patch the CONCRETE classes (Spark 4 routes through subclasses)
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, ident: FakeWriterV2(ident))
+    exists = {"v": False}
+    monkeypatch.setattr(type(spark.catalog), "tableExists",
+                        lambda self, ident: exists["v"])
+
+    sink = Sink(spark, "/unused", table_format="iceberg", catalog="kg")
+    sink.write(df, "triples", partition_by=["bucket"])      # first: create
+    exists["v"] = True
+    sink.write(df, "triples")                               # then: append
+    sink.write(df, "triples", mode="overwrite_partitions")  # idempotent rerun
+    assert calls == [
+        ("partitionedBy", "kg.kg.triples", 1),
+        ("create", "kg.kg.triples"),
+        ("append", "kg.kg.triples"),
+        ("overwritePartitions", "kg.kg.triples"),
+    ]
+
+
+def test_sink_iceberg_requires_catalog(spark):
+    import pytest as _pytest
+
+    from trident_spark.pipeline.catalog import Sink
+
+    with _pytest.raises(ValueError):
+        Sink(spark, "/x", table_format="iceberg")
