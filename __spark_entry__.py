@@ -424,6 +424,48 @@ def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named graphs: serialize doc triples as N-Quads with the capture url
+    as the graph term, parse back, return distinct quads.  Oracle is the
+    per-document SQL reconstruction (graph = doc IRI)."""
+    from trident_spark.pipeline.sinks import from_nquads, to_nquads
+
+    quads = _doc_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
+        "obj_lang", F.col("url").alias("graph"),
+    )
+    lines = to_nquads(quads, graph_col="graph")
+    parsed = from_nquads(lines)
+    return parsed.select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+        "graph",
+    ).distinct()
+
+
+_KG_NQUADS_ORACLE = f"""
+WITH base AS (
+  SELECT '{DOC_BASE}/doc/' || doc_id AS doc,
+         '{DOC_BASE}/org/' || source AS org,
+         text, lang, source, n_chars
+  FROM documents
+), t AS (
+  SELECT doc AS graph, doc AS subj, '{RDF_TYPE}' AS pred,
+         '{SCHEMA}TextDigitalDocument' AS obj_lexical, 'iri' AS obj_kind,
+         '' AS obj_datatype FROM base
+  UNION ALL SELECT doc, doc, '{SCHEMA}text', text, 'literal', '' FROM base
+  UNION ALL SELECT doc, doc, '{SCHEMA}inLanguage', lang, 'literal', '' FROM base
+  UNION ALL SELECT doc, doc, '{SCHEMA}characterCount',
+                   CAST(n_chars AS VARCHAR), 'literal', '{XSD_INT}' FROM base
+  UNION ALL SELECT doc, doc, '{SCHEMA}provider', org, 'iri', '' FROM base
+  UNION ALL SELECT doc, org, '{RDF_TYPE}', '{SCHEMA}Organization', 'iri', ''
+            FROM base
+  UNION ALL SELECT doc, org, '{SCHEMA}name', source, 'literal', '' FROM base
+)
+SELECT DISTINCT subj, pred, obj_lexical, obj_kind, obj_datatype, graph FROM t
+"""
+
+
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted text must round-trip byte-identically per url."""
     from trident_spark.pipeline import extract_stage
@@ -1031,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
+        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -1112,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_union": _KG_SPARQL_UNION_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
+        "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -101,3 +101,21 @@ def test_from_turtle_distributed(spark):
         ("http://x/a", "http://s/p", "1", "literal", None, None),
         ("http://x/b", "http://s/q", "http://x/c", "iri", None, None),
     }
+
+
+def test_nquads_roundtrip_with_blank_and_default_graph(spark):
+    from trident_spark.pipeline.sinks import from_nquads, to_nquads
+
+    cols = ("subj string, pred string, obj_lexical string, obj_kind string, "
+            "obj_datatype string, obj_lang string, graph string")
+    rows = [
+        ("http://x/s", "http://x/p", "v", "literal", None, None, "http://g/1"),
+        ("http://x/s", "http://x/p", "http://x/o", "iri", None, None, None),
+        ("_:b1", "http://x/p", "_:b2", "blank", None, None, "http://g/2"),
+        ("http://x/s", "http://x/q", "hé\"s\n", "literal", None, "en",
+         "http://g/1"),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    back = from_nquads(to_nquads(df, graph_col="graph"))
+    got = {tuple(r) for r in back.collect()}
+    assert got == {tuple(r) for r in rows}

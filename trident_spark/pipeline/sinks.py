@@ -77,6 +77,43 @@ def to_ntriples(skolemized: DataFrame) -> DataFrame:
     )
 
 
+def to_nquads(skolemized: DataFrame, graph_col: str = "url") -> DataFrame:
+    """Lexical triples + a graph column → one N-Quads line per row.
+
+    Named-graph support (reference roadmap: RDF 1.2 / datasets,
+    README.md:33-34): the graph term is an IRI (typically the capture url —
+    provenance as first-class data).  Rows with a NULL graph serialize as
+    plain N-Triples lines (the default graph), matching the N-Quads spec.
+    """
+    g = F.col(graph_col)
+    return skolemized.select(
+        F.concat_ws(
+            " ",
+            _render_subject(F.col("subj")),
+            _render_iri(F.col("pred")),
+            _render_object(),
+            # concat_ws skips NULL: default-graph rows stay triple lines
+            F.when(g.isNotNull(), _render_iri(g)),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
+def from_nquads(lines: DataFrame) -> DataFrame:
+    """lines(line string) → parsed quads (graph NULL for triple lines)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = [r for r in (parse_nquads_line(l) for l in pdf["line"]) if r]
+            yield pd.DataFrame(
+                rows,
+                columns=["subj", "pred", "obj_lexical", "obj_kind",
+                         "obj_datatype", "obj_lang", "graph"],
+            )
+
+    return lines.mapInPandas(run, NT_PARSED_SCHEMA + ", graph string")
+
+
 # ---------------------------------------------------------------------------
 # Turtle (grouped per subject — needs one groupBy, unlike N-Triples)
 # ---------------------------------------------------------------------------
@@ -146,6 +183,7 @@ _NT_LINE = re.compile(
     r"|(?P<o_blank>_:[A-Za-z0-9]+)"
     r'|"(?P<o_lit>(?:[^"\\]|\\.)*)"'
     r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)"
+    r"(?: <(?P<g>[^>]*)>)?"  # optional named graph → N-Quads
     r" \.$"
 )
 
@@ -153,19 +191,31 @@ _UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
 _UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
 
 
-def parse_ntriples_line(line: str):
-    """One N-Triples line → (subj, pred, obj_lexical, obj_kind, dt, lang)."""
+def parse_nquads_line(line: str):
+    """One N-Quads line → (subj, pred, obj_lexical, obj_kind, dt, lang,
+    graph) — graph is None for plain N-Triples (default-graph) lines."""
     m = _NT_LINE.match(line.strip())
     if not m:
         return None
     subj = m.group("s") if m.group("s") is not None else m.group("s_blank")
+    g = m.group("g")
     if m.group("o_iri") is not None:
-        return (subj, m.group("p"), m.group("o_iri"), "iri", None, None)
+        return (subj, m.group("p"), m.group("o_iri"), "iri", None, None, g)
     if m.group("o_blank") is not None:
-        return (subj, m.group("p"), m.group("o_blank"), "blank", None, None)
+        return (subj, m.group("p"), m.group("o_blank"), "blank", None, None, g)
     raw = m.group("o_lit")
     lex = _UNESCAPE_RE.sub(lambda mm: _UNESCAPE[mm.group(0)], raw)
-    return (subj, m.group("p"), lex, "literal", m.group("dt"), m.group("lang"))
+    return (subj, m.group("p"), lex, "literal", m.group("dt"),
+            m.group("lang"), g)
+
+
+def parse_ntriples_line(line: str):
+    """One N-Triples line → (subj, pred, obj_lexical, obj_kind, dt, lang);
+    rejects quad lines (strict N-Triples)."""
+    q = parse_nquads_line(line)
+    if q is None or q[6] is not None:
+        return None
+    return q[:6]
 
 
 NT_PARSED_SCHEMA = (
