@@ -93,9 +93,9 @@ def _iri_resolve_vectors():
 
 
 def _iri_normalize_vectors():
-    from trident_spark.conformance import NORMALIZE_CASES
+    from trident_spark.conformance import HOST_NORMALIZE_CASES, NORMALIZE_CASES
 
-    return [(i, e) for i, e in NORMALIZE_CASES if i]
+    return [(i, e) for i, e in NORMALIZE_CASES + HOST_NORMALIZE_CASES if i]
 
 
 def _iri_to_uri_vectors():

@@ -120,3 +120,25 @@ def test_fast_path_matches_slow_path(s, prefix):
     finally:
         K._fast_parse = orig
     assert fast_result == slow_result
+
+
+@st.composite
+def fastpath_iris(draw):
+    """IRIs shaped to straddle the _FAST_NORMALIZED boundary: plain hosts,
+    punycode (xn--) labels, default ports, dot segments, %-escapes."""
+    host = draw(st.sampled_from(
+        ["example.com", "xn--fa-hia.de", "a.xn--rsum-bpad.org", "xn--x.bad",
+         "up.example.org", "xn--"]))
+    port = draw(st.sampled_from(["", ":80", ":8080", ":443"]))
+    path = draw(st.sampled_from(
+        ["/", "/a/b", "/a/../b", "/%7Euser", "/a/./", "/xn--foo"]))
+    scheme = draw(st.sampled_from(["http", "https", "foo"]))
+    return f"{scheme}://{host}{port}{path}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(iri=fastpath_iris())
+def test_normalize_fast_path_matches_slow_path(iri):
+    """CLAUDE.md rule 8 for normalize: the string fast path must agree with
+    the full path (normalize of a pre-parsed ref never takes the fast path)."""
+    assert K.normalize(iri) == K.normalize(K.parse_ref(iri))

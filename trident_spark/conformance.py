@@ -202,3 +202,18 @@ EXTLANG_FORM_CASES = [
     ("zh-hak-CN", "zh-hak-CN"),  # already extlang form
     ("x-my-tag", "x-my-tag"),    # private use: no-op
 ]
+
+# host/port normalization as full-IRI vectors (iri/authority_test.go:140-265)
+HOST_NORMALIZE_CASES = [
+    ("http://EXAMPLE.COM:8080/p", "http://example.com:8080/p"),
+    ("http://example.com:80/p", "http://example.com/p"),
+    ("https://example.com:443/p", "https://example.com/p"),
+    ("ftp://example.com:21/p", "ftp://example.com/p"),
+    ("ws://example.com:80/p", "ws://example.com/p"),
+    ("wss://example.com:443/p", "wss://example.com/p"),
+    ("gopher://example.com:80/p", "gopher://example.com:80/p"),  # unknown scheme
+    ("http://[2001:DB8::7]/p", "http://[2001:db8::7]/p"),        # IPv6 case
+    ("http://faß.de/p", "http://fass.de/p"),                     # nameprep ß→ss
+    ("http://[::1]:80/p", "http://[::1]/p"),
+    ("http://xn--fa-hia.de/p", "http://fass.de/p"),              # punycode decode
+]

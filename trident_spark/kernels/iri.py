@@ -728,8 +728,12 @@ def normalize(s: str | ParsedRef) -> str:
     removes dot segments, adds ``/`` for an empty path when an authority is
     present, drops default ports, and NFC-normalizes the result.
     """
-    if isinstance(s, str) and _FAST_NORMALIZED.match(s) and not _DOT_SEG_RE.search(s):
-        return s  # already canonical — the common case on real crawls
+    if (isinstance(s, str) and _FAST_NORMALIZED.match(s)
+            and not _DOT_SEG_RE.search(s) and "xn--" not in s):
+        # already canonical — the common case on real crawls.  Punycode
+        # (xn--) hosts are excluded: canonical form is the decoded Unicode
+        # label (reference normalizes "xn--fa-hia.de" → "fass.de")
+        return s
 
     ref = s if isinstance(s, ParsedRef) else parse_ref(s)
     if not ref.iri:
