@@ -404,6 +404,24 @@ SELECT '{DOC_BASE}/doc/' || doc_id FROM documents
 """
 
 
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path: ?doc schema:provider/schema:name ?org_name — the
+    sequence path compiles to the same join as the 2-pattern BGP, so the
+    BGP oracle applies."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?doc ?org_name WHERE {
+            ?doc schema:provider/schema:name ?org_name .
+            ?doc a schema:TextDigitalDocument .
+        }
+        """,
+    ).distinct()
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
@@ -726,6 +744,18 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir)
     return ivf_topk(_read(spark, sf_dir, "embeddings"), q, k=10,
                     n_cells=16, n_probe=4).select("vec_id")
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path: LSH-bucket candidate join + exact rescore.
+    Slightly lossy across hyperplane boundaries → rows-only; recall vs the
+    exact blocked-GEMM path is asserted in tests/test_operators.py."""
+    from trident_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45, use_lsh=True,
+        n_bits=8, dim=64,
+    ).select("a", "b")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional": q_kg_sparql_optional,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
+        "kg_sparql_path": q_kg_sparql_path,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1091,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -1153,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optional": _KG_SPARQL_OPTIONAL_ORACLE,
         "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
         "kg_sparql_union": _KG_SPARQL_UNION_ORACLE,
+        "kg_sparql_path": f"SELECT DISTINCT doc, org_name FROM ({_KG_BGP_ORACLE}) b",
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

@@ -145,6 +145,9 @@ def run_headline(spark) -> dict[str, float]:
     headline = [
         "kg_doc_triples",
         "kg_bgp_provider",
+        "kg_sparql_agg",
+        "kg_turtle_roundtrip",
+        "kg_nquads_roundtrip",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -154,6 +157,7 @@ def run_headline(spark) -> dict[str, float]:
         "similarity_topk",
         "similarity_ann_lsh",
         "embedding_near_dup",
+        "embedding_near_dup_lsh",
         "pricing_summary",
         "top_orders",
         "region_revenue",

@@ -251,3 +251,12 @@ def test_ivf_deterministic(spark, embeddings):
     c2 = similarity.train_ivf_centroids(embeddings, n_cells=8)
     import numpy as np
     assert np.allclose(c1, c2)
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(spark, embeddings):
+    exact = {(r["a"], r["b"]) for r in similarity.embedding_near_dup_pairs(
+        embeddings, threshold=0.8, use_lsh=False).collect()}
+    lsh = {(r["a"], r["b"]) for r in similarity.embedding_near_dup_pairs(
+        embeddings, threshold=0.8, use_lsh=True, n_bits=6, dim=16).collect()}
+    assert lsh <= exact  # exact rescore kills false positives
+    assert exact and len(lsh & exact) / len(exact) >= 0.7

@@ -252,3 +252,57 @@ def test_nested_group_joins(spark, graph):
         } ORDER BY ?pn
     """)
     assert [r["pn"] for r in df.collect()] == ["Alice", "Bob"]
+
+
+def test_property_path_sequence(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p ?on WHERE { ?p schema:worksFor/schema:name ?on . }
+        ORDER BY ?on
+    """)
+    assert [(r["p"], r["on"]) for r in df.collect()] == [
+        ("http://x/alice", "Acme"), ("http://x/bob", "Globex")]
+
+
+def test_property_path_inverse_and_alternative(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?o WHERE { ?o ^schema:worksFor ?p . }
+    """)
+    assert {r["o"] for r in df.collect()} == {"http://x/acme", "http://x/globex"}
+    df2 = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?s WHERE { ?s (schema:name|schema:jobTitle) "Alice" . }
+    """)
+    assert [r["s"] for r in df2.collect()] == ["http://x/alice"]
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    rows = [(f"http://n/{i}", "http://p/next", f"http://n/{i+1}", "iri",
+             None, None) for i in range(5)]
+    return spark.createDataFrame(rows, COLS).cache()
+
+
+def test_property_path_plus_transitive(spark, chain):
+    df = query(chain, """
+        SELECT ?x WHERE { <http://n/0> <http://p/next>+ ?x . } ORDER BY ?x
+    """)
+    assert [r["x"] for r in df.collect()] == [f"http://n/{i}" for i in range(1, 6)]
+
+
+def test_property_path_star_includes_identity(spark, chain):
+    df = query(chain, """
+        SELECT ?x WHERE { <http://n/2> <http://p/next>* ?x . } ORDER BY ?x
+    """)
+    assert [r["x"] for r in df.collect()] == [f"http://n/{i}" for i in (2, 3, 4, 5)]
+
+
+def test_property_path_ground_check(spark, chain):
+    df = query(chain, """
+        SELECT ?y WHERE {
+            <http://n/0> <http://p/next>+ <http://n/4> .
+            <http://n/4> <http://p/next> ?y .
+        }
+    """)
+    assert [r["y"] for r in df.collect()] == ["http://n/5"]

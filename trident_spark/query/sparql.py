@@ -56,7 +56,7 @@ _TOKEN_RE = re.compile(
     | [A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_\-.]*)?    # keyword / pname / a
     | [0-9]+(?:\.[0-9]+)?                               # number
     | && | \|\| | != | <= | >=                          # 2-char operators
-    | [{}().,;=<>!*/+\-]                                # 1-char punctuation
+    | [{}().,;=<>!*/+\-^|]                              # 1-char punctuation
     """,
     re.VERBOSE,
 )
@@ -81,8 +81,54 @@ def _tokenize(s: str) -> list[str]:
 @dataclass
 class _Pattern:
     subj: str
-    pred: str
+    pred: "str | tuple"  # IRI/var token, or a property-path AST tuple
     obj: str
+
+
+# property-path AST: ("iri", token) | ("inv", p) | ("seq", p, q)
+#                  | ("alt", p, q) | ("plus", p) | ("star", p)
+_PATH_OPS = {"/", "|", "^", "+", "*", "("}
+
+
+def _parse_path(toks: list[str], i: int) -> tuple:
+    """Recursive-descent SPARQL property path: alt < seq < postfix < inverse."""
+
+    def primary(i):
+        if toks[i] == "(":
+            node, i = alt(i + 1)
+            if i >= len(toks) or toks[i] != ")":
+                raise SparqlError("unbalanced parens in property path")
+            return node, i + 1
+        t = toks[i]
+        if not _is_term(t) or t.startswith("?"):
+            raise SparqlError(f"invalid property-path element {t!r}")
+        return ("iri", t), i + 1
+
+    def step(i):
+        inv = False
+        if toks[i] == "^":
+            inv, i = True, i + 1
+        node, i = primary(i)
+        while i < len(toks) and toks[i] in ("+", "*"):
+            node = ("plus" if toks[i] == "+" else "star", node)
+            i += 1
+        return (("inv", node) if inv else node), i
+
+    def seq(i):
+        node, i = step(i)
+        while i < len(toks) and toks[i] == "/":
+            right, i = step(i + 1)
+            node = ("seq", node, right)
+        return node, i
+
+    def alt(i):
+        node, i = seq(i)
+        while i < len(toks) and toks[i] == "|":
+            right, i = seq(i + 1)
+            node = ("alt", node, right)
+        return node, i
+
+    return alt(i)
 
 
 @dataclass
@@ -139,10 +185,17 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
             subj = t
             i += 1
             while True:
-                if i + 1 >= len(toks) or not _is_term(toks[i]):
+                if i + 1 >= len(toks) or not (
+                    _is_term(toks[i]) or toks[i] in _PATH_OPS
+                ):
                     raise SparqlError(f"malformed triple after {subj!r}")
-                pred = toks[i]
-                i += 1
+                if toks[i].startswith("?"):
+                    pred = toks[i]
+                    i += 1
+                else:
+                    node, i = _parse_path(toks, i)
+                    # atomic paths stay plain strings (the fast common case)
+                    pred = node[1] if node[0] == "iri" else node
                 while True:
                     if not _is_term(toks[i]):
                         raise SparqlError(f"malformed object after {pred!r}")
@@ -230,8 +283,93 @@ def _filter_sql(toks: list[str]) -> str:
     return " ".join(out)
 
 
+def _compile_path(triples: DataFrame, node: tuple,
+                  prefixes: dict[str, str]) -> DataFrame:
+    """Property path → distinct (_ps, _po) endpoint pairs.
+
+    Closures (`+`/`*`) run an iterative driver-side fixpoint (join new
+    frontier against the base relation, union, until no new pairs) — the
+    standard DataFrame transitive closure; each round localCheckpoints to
+    bound lineage.  `*` adds the identity pair for every graph term, per
+    SPARQL's zero-length-path semantics."""
+    kind = node[0]
+    if kind == "iri":
+        value = _expand(node[1], prefixes)
+        return (
+            triples.where(F.col("pred") == value)
+            .select(F.col("subj").alias("_ps"),
+                    F.col("obj_lexical").alias("_po"))
+            .distinct()
+        )
+    if kind == "inv":
+        p = _compile_path(triples, node[1], prefixes)
+        return p.select(F.col("_po").alias("_ps"), F.col("_ps").alias("_po"))
+    if kind == "seq":
+        left = _compile_path(triples, node[1], prefixes)
+        right = (
+            _compile_path(triples, node[2], prefixes)
+            .withColumnRenamed("_ps", "_ms").withColumnRenamed("_po", "_mo")
+        )
+        return (
+            left.join(right, F.col("_po") == F.col("_ms"))
+            .select("_ps", F.col("_mo").alias("_po"))
+            .distinct()
+        )
+    if kind == "alt":
+        return (
+            _compile_path(triples, node[1], prefixes)
+            .union(_compile_path(triples, node[2], prefixes))
+            .distinct()
+        )
+    if kind in ("plus", "star"):
+        base = _compile_path(triples, node[1], prefixes).localCheckpoint(
+            eager=True)
+        paths, frontier = base, base
+        for _ in range(25):  # fixpoint: bounded by graph diameter
+            step = (
+                frontier.withColumnRenamed("_po", "_mid")
+                .join(base.withColumnRenamed("_ps", "_mid"), "_mid")
+                .select("_ps", "_po")
+            )
+            new = step.subtract(paths)
+            if not new.take(1):
+                break
+            paths = paths.union(new).distinct().localCheckpoint(eager=True)
+            frontier = new
+        if kind == "star":
+            nodes = (
+                triples.select(F.col("subj").alias("_ps"))
+                .union(triples.select(F.col("obj_lexical")))
+                .distinct()
+            )
+            paths = paths.union(
+                nodes.select("_ps", F.col("_ps").alias("_po"))).distinct()
+        return paths
+    raise SparqlError(f"unknown path node {node!r}")  # pragma: no cover
+
+
 def _compile_pattern(triples: DataFrame, pat: _Pattern,
                      prefixes: dict[str, str], idx: int) -> tuple[DataFrame, set[str]]:
+    if isinstance(pat.pred, tuple):
+        pairs = _compile_path(triples, pat.pred, prefixes)
+        rename: dict[str, str] = {}
+        scan = pairs
+        for col, term in (("_ps", pat.subj), ("_po", pat.obj)):
+            if term.startswith("?"):
+                rename[col] = term[1:]
+            elif term.startswith('"'):
+                value = re.match(r'"((?:[^"\\]|\\.)*)"', term).group(1)
+                value = value.replace("\\\"", '"').replace("\\\\", "\\")
+                scan = scan.where(F.col(col) == value)
+            else:
+                scan = scan.where(F.col(col) == _expand(term, prefixes))
+        proj = [F.col(c).alias(v) for c, v in rename.items()]
+        if proj:
+            scan = scan.select(*proj).distinct()
+        else:
+            scan = scan.select(F.lit(1).alias(f"_m{idx}")).limit(1)
+        return scan, set(rename.values())
+
     scan = triples
     rename: dict[str, str] = {}
     for col, term in (("subj", pat.subj), ("pred", pat.pred),
