@@ -552,7 +552,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), n_hashes=256, bands=64, threshold=0.5
+        _read(spark, sf_dir, "documents"), n_hashes=96, bands=32, threshold=0.5
     ).select("a", "b")
 
 

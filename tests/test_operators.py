@@ -61,7 +61,7 @@ def test_minhash_lsh_recall_vs_exact(docs):
     exact = {(r["a"], r["b"]) for r in
              dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
     lsh = {(r["a"], r["b"]) for r in
-           dedup.minhash_lsh_pairs(docs, n_hashes=256, bands=64,
+           dedup.minhash_lsh_pairs(docs, n_hashes=96, bands=32,
                                    shingle=3, threshold=0.5).collect()}
     assert lsh <= exact  # verification step kills false positives
     recall = len(lsh & exact) / len(exact)
