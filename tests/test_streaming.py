@@ -57,3 +57,59 @@ def test_stream_restart_is_idempotent(spark, staged_pages, tmp_path_factory):
     run_once()  # restart with same checkpoint: no new input → no duplicates
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must reproduce the batch
+    window operator for every closed session.  Two microbatches (file order
+    pinned via mtime): real events first, then a far-future sentinel per
+    user whose arrival closes all real sessions inline."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from trident_spark.streaming.sessionize import sessionize_stream
+
+    schema = "user_id long, ts timestamp, value double"
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    for u in range(3):
+        t = base + dt.timedelta(minutes=u)
+        for _s in range(2):
+            for _e in range(3):
+                rows.append((u, t, 1.5))
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)  # inactivity gap → session closes
+    sentinels = [(u, base + dt.timedelta(days=10), 0.0) for u in range(3)]
+
+    stage = tmp_path / "stage"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, data in enumerate((rows, sentinels)):
+        d = stage / str(i)
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["n_events"], r["session_value"])
+        for r in spark.sql(
+            "SELECT * FROM sessions_out WHERE session_value > 0").collect()
+    ]
+    # batch reference: 3 users x 2 sessions of 3 events x 1.5
+    assert sorted(got) == sorted([(u, 3, 4.5) for u in range(3)] * 2)
