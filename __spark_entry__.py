@@ -422,6 +422,164 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_kg_sparql_minus_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES (inline data) narrows the type, MINUS (anti join) drops every
+    subject that has a schema:name — i.e. the docs (orgs are named)."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?s WHERE {
+            ?s a ?t .
+            VALUES ?t { schema:TextDigitalDocument schema:Organization }
+            MINUS { ?s schema:name ?n }
+        }
+        """,
+    )
+
+
+_KG_SPARQL_MINUS_VALUES_ORACLE = f"""
+SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS s FROM documents
+"""
+
+
+def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER EXISTS correlated on ?d: docs whose provider's name starts
+    with "src1" (11 of the 20 sources) — compiles to a left-semi join."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?d WHERE {
+            ?d a schema:TextDigitalDocument .
+            FILTER EXISTS {
+                ?d schema:provider ?org .
+                ?org schema:name ?n .
+                FILTER(STRSTARTS(?n, "src1"))
+            }
+        }
+        """,
+    ).distinct()
+
+
+_KG_SPARQL_EXISTS_ORACLE = f"""
+SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS d FROM documents
+WHERE source LIKE 'src1%'
+"""
+
+
+def q_kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: providers with more than 10 English docs."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?org (COUNT(?d) AS ?n) WHERE {
+            ?d schema:provider ?org ;
+               schema:inLanguage "en" .
+        } GROUP BY ?org HAVING(COUNT(?d) > 10)
+        """,
+    )
+
+
+_KG_SPARQL_HAVING_ORACLE = f"""
+SELECT '{DOC_BASE}/org/' || source AS org, COUNT(*) AS n FROM documents
+WHERE lang = 'en' GROUP BY source HAVING COUNT(*) > 10
+"""
+
+
+def q_kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIND: computed label column (CONCAT + UCASE, JVM-side expressions)."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?label WHERE {
+            ?org a schema:Organization ; schema:name ?n .
+            BIND(CONCAT("ORG:", UCASE(?n)) AS ?label)
+        }
+        """,
+    )
+
+
+_KG_SPARQL_BIND_ORACLE = """
+SELECT DISTINCT 'ORG:' || UPPER(source) AS label FROM documents
+"""
+
+
+def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery: inner GROUP BY aggregation joined to the outer pattern."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?org ?n WHERE {
+            ?org a schema:Organization .
+            { SELECT ?org (COUNT(?d) AS ?n) WHERE {
+                ?d schema:provider ?org } GROUP BY ?org }
+        }
+        """,
+    ).distinct()
+
+
+_KG_SPARQL_SUBQUERY_ORACLE = f"""
+SELECT '{DOC_BASE}/org/' || source AS org, COUNT(*) AS n FROM documents
+GROUP BY source
+"""
+
+
+def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK query form: single-row boolean DataFrame."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        ASK { ?d schema:inLanguage "en" }
+        """,
+    )
+
+
+_KG_SPARQL_ASK_ORACLE = """
+SELECT (COUNT(*) > 0) AS ask FROM documents WHERE lang = 'en'
+"""
+
+
+def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT query form: reversed provider edges as a new graph, with
+    object term kinds recovered from the source graph's term dictionary."""
+    from trident_spark.query.sparql import construct
+
+    return construct(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        CONSTRUCT { ?org schema:published ?d }
+        WHERE { ?d schema:provider ?org }
+        """,
+    )
+
+
+_KG_SPARQL_CONSTRUCT_ORACLE = f"""
+SELECT DISTINCT '{DOC_BASE}/org/' || source AS subj,
+       '{SCHEMA}published' AS pred,
+       '{DOC_BASE}/doc/' || doc_id AS obj_lexical,
+       'iri' AS obj_kind
+FROM documents
+"""
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
@@ -1103,6 +1261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_minus_values": q_kg_sparql_minus_values,
+        "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_having": q_kg_sparql_having,
+        "kg_sparql_bind": q_kg_sparql_bind,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_construct": q_kg_sparql_construct,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1186,6 +1351,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
         "kg_sparql_union": _KG_SPARQL_UNION_ORACLE,
         "kg_sparql_path": f"SELECT DISTINCT doc, org_name FROM ({_KG_BGP_ORACLE}) b",
+        "kg_sparql_minus_values": _KG_SPARQL_MINUS_VALUES_ORACLE,
+        "kg_sparql_exists": _KG_SPARQL_EXISTS_ORACLE,
+        "kg_sparql_having": _KG_SPARQL_HAVING_ORACLE,
+        "kg_sparql_bind": _KG_SPARQL_BIND_ORACLE,
+        "kg_sparql_subquery": _KG_SPARQL_SUBQUERY_ORACLE,
+        "kg_sparql_ask": _KG_SPARQL_ASK_ORACLE,
+        "kg_sparql_construct": _KG_SPARQL_CONSTRUCT_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

@@ -92,7 +92,7 @@ def test_select_star(spark, graph):
 
 def test_errors(spark, graph):
     with pytest.raises(SparqlError):
-        query(graph, "ASK { ?s ?p ?o }")
+        query(graph, "DESCRIBE <http://x/alice>")
     with pytest.raises(SparqlError):
         query(graph, "SELECT ?x WHERE { ?s <http://p> ?o . }")
 
@@ -306,3 +306,265 @@ def test_property_path_ground_check(spark, chain):
         }
     """)
     assert [r["y"] for r in df.collect()] == ["http://n/5"]
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 solution modifiers and pattern operators (round 2 additions)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    """graph + one unemployed person, for MINUS / NOT EXISTS coverage."""
+    rows = [
+        ("http://x/alice", RDF_TYPE, SCHEMA + "Person", "iri", None, None),
+        ("http://x/alice", SCHEMA + "name", "Alice", "literal", None, None),
+        ("http://x/alice", SCHEMA + "worksFor", "http://x/acme", "iri", None, None),
+        ("http://x/bob", RDF_TYPE, SCHEMA + "Person", "iri", None, None),
+        ("http://x/bob", SCHEMA + "name", "Bob", "literal", None, None),
+        ("http://x/bob", SCHEMA + "worksFor", "http://x/globex", "iri", None, None),
+        ("http://x/carol", RDF_TYPE, SCHEMA + "Person", "iri", None, None),
+        ("http://x/carol", SCHEMA + "name", "Carol", "literal", None, None),
+        ("http://x/acme", RDF_TYPE, SCHEMA + "Organization", "iri", None, None),
+        ("http://x/acme", SCHEMA + "name", "Acme", "literal", None, None),
+        ("http://x/globex", RDF_TYPE, SCHEMA + "Organization", "iri", None, None),
+        ("http://x/globex", SCHEMA + "name", "Globex", "literal", None, None),
+    ]
+    return spark.createDataFrame(rows, COLS).cache()
+
+
+def test_values_single_var(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p ?name WHERE {
+            ?p schema:name ?name .
+            VALUES ?name { "Alice" "Globex" }
+        }
+    """)
+    assert sorted(r["name"] for r in df.collect()) == ["Alice", "Globex"]
+
+
+def test_values_multi_var_rows(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p schema:name ?name ; a ?t .
+            VALUES (?name ?t) { ("Alice" schema:Person)
+                                ("Acme" schema:Organization) }
+        }
+    """)
+    assert sorted(r["p"] for r in df.collect()) == [
+        "http://x/acme", "http://x/alice"]
+
+
+def test_values_first_element(spark, people):
+    # VALUES as the leading element seeds the solution multiset
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?name WHERE {
+            VALUES ?p { <http://x/alice> <http://x/carol> }
+            ?p schema:name ?name .
+        }
+    """)
+    assert sorted(r["name"] for r in df.collect()) == ["Alice", "Carol"]
+
+
+def test_values_undef_rejected(spark, people):
+    with pytest.raises(SparqlError, match="UNDEF"):
+        query(people, """
+            SELECT ?x WHERE { VALUES ?x { UNDEF "a" } ?x ?p ?o }
+        """)
+
+
+def test_minus_removes_compatible_solutions(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p a schema:Person .
+            MINUS { ?p schema:worksFor ?o }
+        }
+    """)
+    assert [r["p"] for r in df.collect()] == ["http://x/carol"]
+
+
+def test_minus_disjoint_domains_is_noop(spark, people):
+    # no shared variables → SPARQL keeps every solution
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p a schema:Person .
+            MINUS { ?q a schema:Organization }
+        }
+    """)
+    assert df.count() == 3
+
+
+def test_filter_not_exists(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p a schema:Person .
+            FILTER NOT EXISTS { ?p schema:worksFor ?o }
+        }
+    """)
+    assert [r["p"] for r in df.collect()] == ["http://x/carol"]
+
+
+def test_filter_exists_correlated(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p a schema:Person .
+            FILTER EXISTS { ?p schema:worksFor ?o }
+        }
+    """)
+    assert sorted(r["p"] for r in df.collect()) == [
+        "http://x/alice", "http://x/bob"]
+
+
+def test_filter_exists_uncorrelated_gate(spark, people):
+    # inner group shares no variable: acts as a global on/off gate
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p a schema:Person .
+            FILTER EXISTS { ?z a schema:Organization }
+        }
+    """)
+    assert df.count() == 3
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE {
+            ?p a schema:Person .
+            FILTER NOT EXISTS { ?z a schema:NoSuchType }
+        }
+    """)
+    assert df.count() == 3
+
+
+def test_bind_then_filter(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?uname WHERE {
+            ?p schema:name ?name .
+            BIND(UCASE(?name) AS ?uname)
+            FILTER(STRSTARTS(?uname, "A"))
+        }
+    """)
+    assert sorted(r["uname"] for r in df.collect()) == ["ACME", "ALICE"]
+
+
+def test_bind_joins_downstream_pattern(spark, people):
+    # the bound variable participates in later joins
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?p schema:worksFor ?org .
+            BIND(?org AS ?company)
+            ?company schema:name ?n .
+        }
+    """)
+    assert sorted(r["n"] for r in df.collect()) == ["Acme", "Globex"]
+
+
+def test_bind_cannot_lead_or_reassign(spark, people):
+    with pytest.raises(SparqlError, match="first"):
+        query(people, 'SELECT ?x WHERE { BIND("a" AS ?x) }')
+    with pytest.raises(SparqlError, match="reassigns"):
+        query(people, """
+            PREFIX schema: <https://schema.org/>
+            SELECT ?n WHERE { ?p schema:name ?n . BIND("x" AS ?n) }
+        """)
+
+
+def test_having(spark, people):
+    df = query(people, """
+        SELECT ?t (COUNT(?s) AS ?n) WHERE {
+            ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t .
+        } GROUP BY ?t HAVING(COUNT(?s) > 2)
+    """)
+    assert [(r["t"], r["n"]) for r in df.collect()] == [
+        (SCHEMA + "Person", 3)]
+
+
+def test_having_requires_matching_select_aggregate(spark, people):
+    with pytest.raises(SparqlError, match="SELECT clause"):
+        query(people, """
+            SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+            GROUP BY ?t HAVING(SUM(?s) > 2)
+        """)
+
+
+def test_limit_offset_pagination(spark, people):
+    q = """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?name WHERE { ?p schema:name ?name ; a schema:Person }
+        ORDER BY ?name LIMIT 2 OFFSET %d
+    """
+    assert [r["name"] for r in query(people, q % 0).collect()] == [
+        "Alice", "Bob"]
+    assert [r["name"] for r in query(people, q % 1).collect()] == [
+        "Bob", "Carol"]
+
+
+def test_subquery(spark, people):
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p ?n WHERE {
+            ?p a schema:Person ; schema:name ?n .
+            { SELECT ?p WHERE { ?p schema:worksFor ?o } }
+        }
+    """)
+    assert sorted(r["n"] for r in df.collect()) == ["Alice", "Bob"]
+
+
+def test_subquery_with_aggregate(spark, people):
+    # inner aggregation feeding an outer join — the canonical subquery use
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?org ?n WHERE {
+            ?org a schema:Organization .
+            { SELECT ?org (COUNT(?p) AS ?n) WHERE {
+                ?p schema:worksFor ?org } GROUP BY ?org }
+        }
+    """)
+    assert sorted((r["org"], r["n"]) for r in df.collect()) == [
+        ("http://x/acme", 1), ("http://x/globex", 1)]
+
+
+def test_ask(spark, people):
+    from trident_spark.query.sparql import ask
+    assert ask(people, 'ASK { <http://x/alice> <https://schema.org/name> "Alice" }')
+    assert not ask(people, 'ASK WHERE { <http://x/alice> <https://schema.org/name> "Zed" }')
+    # query() form returns a 1-row boolean DataFrame
+    df = query(people, 'ASK { ?s ?p ?o }')
+    assert df.columns == ["ask"] and df.head()["ask"] is True
+
+
+def test_construct_recovers_term_kinds(spark, people):
+    from trident_spark.query.sparql import construct
+    out = construct(people, """
+        PREFIX schema: <https://schema.org/>
+        CONSTRUCT { ?org schema:employee ?p . ?org schema:label ?n }
+        WHERE { ?p schema:worksFor ?org . ?org schema:name ?n }
+    """)
+    rows = {(r["subj"], r["pred"], r["obj_lexical"], r["obj_kind"])
+            for r in out.collect()}
+    assert (("http://x/acme", SCHEMA + "employee", "http://x/alice", "iri")
+            in rows)
+    assert (("http://x/acme", SCHEMA + "label", "Acme", "literal") in rows)
+    assert len(rows) == 4
+
+
+def test_construct_constant_template_terms(spark, people):
+    from trident_spark.query.sparql import construct
+    out = construct(people, """
+        PREFIX schema: <https://schema.org/>
+        CONSTRUCT { ?p a schema:Employee }
+        WHERE { ?p schema:worksFor ?o }
+    """)
+    rows = {(r["subj"], r["obj_lexical"], r["obj_kind"]) for r in out.collect()}
+    assert rows == {
+        ("http://x/alice", SCHEMA + "Employee", "iri"),
+        ("http://x/bob", SCHEMA + "Employee", "iri"),
+    }

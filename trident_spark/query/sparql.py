@@ -14,20 +14,30 @@ iterable solutions, README.md:94-120) for the SELECT fragment:
 
 Supported: basic graph patterns with ``;``/``,`` predicate-object lists,
 FILTER (nested parens, quoted strings, BOUND/STRLEN/REGEX/STRSTARTS/
-STRENDS/CONTAINS/UCASE/LCASE), OPTIONAL (left join on shared variables),
-UNION (column-aligned union), nested groups, aggregates COUNT/SUM/AVG/
-MIN/MAX with GROUP BY, DISTINCT, ORDER BY (incl. aggregate aliases), LIMIT.
+STRENDS/CONTAINS/UCASE/LCASE), FILTER [NOT] EXISTS, OPTIONAL (left join on
+shared variables), UNION (column-aligned union), MINUS (anti join), VALUES
+(inline data), BIND, nested groups and subqueries (``{ SELECT ... }``),
+property paths, aggregates COUNT/SUM/AVG/MIN/MAX with GROUP BY + HAVING,
+DISTINCT, ORDER BY (incl. aggregate aliases), LIMIT/OFFSET, and the ASK
+and CONSTRUCT query forms (``ask()`` / ``construct()``).
 
 Compilation is the classic mapping: every triple pattern is a filtered scan
 of the lexical triples DataFrame; shared variables become equi-join keys
 (Catalyst picks broadcast/sort-merge); OPTIONAL becomes a left outer join;
-UNION a ``unionByName(allowMissingColumns=True)``; FILTER a Spark SQL
-expression; aggregates a ``groupBy().agg()``.
+UNION a ``unionByName(allowMissingColumns=True)``; MINUS / NOT EXISTS a
+``left_anti`` join; EXISTS a ``left_semi``; VALUES a join against a literal
+local relation; FILTER a Spark SQL expression; aggregates a
+``groupBy().agg()``; CONSTRUCT a per-template-triple projection union with
+term kinds recovered by joining the graph's term dictionary.
 
 Simplifications vs full SPARQL 1.1 (documented, not silent): unbound (null)
 variables never join-match later patterns (SQL null semantics, not SPARQL
-compatibility); SUM/AVG cast the lexical form to double; no property paths,
-subqueries, VALUES, MINUS, or HAVING.
+compatibility — this also makes MINUS exact only when the shared variables
+are bound on both sides, the overwhelmingly common case); VALUES rows must
+be fully bound (UNDEF raises); SUM/AVG cast the lexical form to double;
+HAVING aggregate expressions must repeat an aggregate already named in the
+SELECT clause; no named graphs / GRAPH patterns (quads live one level up,
+in pipeline/sinks.py) and no federation.
 
 The WHERE block is tokenized by a scanner that respects ``<>``-delimited
 IRIs and quoted literals, so statement splitting and filter rewriting can
@@ -135,13 +145,85 @@ def _parse_path(toks: list[str], i: int) -> tuple:
 class _Group:
     # elements: _Pattern | ("filter", [tokens]) | ("optional", _Group)
     #         | ("union", _Group, _Group) | ("group", _Group)
+    #         | ("minus", _Group) | ("exists", bool, _Group)
+    #         | ("values", [vars], [rows]) | ("bind", [tokens], alias)
+    #         | ("subselect", [tokens])
     elements: list = field(default_factory=list)
 
 
 def _is_term(tok: str) -> bool:
     return bool(tok) and tok not in "{}.;,()" and tok.upper() not in (
-        "FILTER", "OPTIONAL", "UNION",
+        "FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES", "BIND",
     )
+
+
+def _match_brace(toks: list[str], i: int) -> int:
+    """index just past the '}' matching the '{' at ``toks[i]``."""
+    depth, j = 1, i + 1
+    while j < len(toks) and depth:
+        depth += {"{": 1, "}": -1}.get(toks[j], 0)
+        j += 1
+    if depth:
+        raise SparqlError("unbalanced braces")
+    return j
+
+
+def _parse_values(toks: list[str], i: int) -> tuple[tuple, int]:
+    """VALUES ?v { t... } | VALUES (?v ?w) { (t t) ... } → ("values", ...)."""
+    vars_: list[str] = []
+    if toks[i].startswith("?"):
+        vars_, i, rowform = [toks[i][1:]], i + 1, False
+    elif toks[i] == "(":
+        i, rowform = i + 1, True
+        while i < len(toks) and toks[i].startswith("?"):
+            vars_.append(toks[i][1:])
+            i += 1
+        if not vars_ or i >= len(toks) or toks[i] != ")":
+            raise SparqlError("malformed VALUES variable list")
+        i += 1
+    else:
+        raise SparqlError("VALUES requires ?var or (?var ...)")
+    if i >= len(toks) or toks[i] != "{":
+        raise SparqlError("VALUES requires a data block")
+    i += 1
+    rows: list[tuple] = []
+    while i < len(toks) and toks[i] != "}":
+        if rowform:
+            if toks[i] != "(":
+                raise SparqlError("VALUES rows must be parenthesized")
+            i += 1
+            row = []
+            while i < len(toks) and toks[i] != ")":
+                row.append(_values_term(toks[i]))
+                i += 1
+            if i >= len(toks) or len(row) != len(vars_):
+                raise SparqlError("VALUES row arity mismatch")
+            i += 1
+        else:
+            row = [_values_term(toks[i])]
+            i += 1
+        rows.append(tuple(row))
+    if i >= len(toks):
+        raise SparqlError("unterminated VALUES block")
+    if not rows:
+        raise SparqlError("empty VALUES block")
+    return ("values", vars_, rows), i + 1
+
+
+def _values_term(tok: str) -> str:
+    if tok.upper() == "UNDEF":
+        # UNDEF is a compatibility wildcard; SQL null join keys never match,
+        # so supporting it silently would drop solutions.  Refuse loudly.
+        raise SparqlError("VALUES UNDEF is not supported")
+    return tok  # raw token; unquoted/expanded at compile time (needs prefixes)
+
+
+def _term_value(tok: str, prefixes: dict[str, str]) -> str:
+    """IRI/literal/pname token → its lexical value."""
+    if tok.startswith('"'):
+        m = re.match(r'"((?:[^"\\]|\\.)*)"', tok)
+        return m.group(1).replace("\\\"", '"').replace("\\\\", "\\")
+    return _expand(tok, prefixes)
 
 
 def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
@@ -153,6 +235,19 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
         if t == "}":
             return g, i + 1
         if up == "FILTER":
+            nxt = toks[i + 1].upper() if i + 1 < len(toks) else ""
+            if nxt in ("EXISTS", "NOT"):
+                positive = nxt == "EXISTS"
+                j = i + 2
+                if not positive:
+                    if j >= len(toks) or toks[j].upper() != "EXISTS":
+                        raise SparqlError("FILTER NOT requires EXISTS")
+                    j += 1
+                if j >= len(toks) or toks[j] != "{":
+                    raise SparqlError("FILTER [NOT] EXISTS requires a group")
+                sub, i = _parse_group(toks, j + 1)
+                g.elements.append(("exists", positive, sub))
+                continue
             if i + 1 >= len(toks) or toks[i + 1] != "(":
                 raise SparqlError("FILTER requires parenthesized expression")
             depth, j = 1, i + 2
@@ -168,7 +263,36 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
                 raise SparqlError("OPTIONAL requires a group")
             sub, i = _parse_group(toks, i + 2)
             g.elements.append(("optional", sub))
+        elif up == "MINUS":
+            if i + 1 >= len(toks) or toks[i + 1] != "{":
+                raise SparqlError("MINUS requires a group")
+            sub, i = _parse_group(toks, i + 2)
+            g.elements.append(("minus", sub))
+        elif up == "VALUES":
+            el, i = _parse_values(toks, i + 1)
+            g.elements.append(el)
+        elif up == "BIND":
+            # BIND ( expr AS ?v )
+            if i + 1 >= len(toks) or toks[i + 1] != "(":
+                raise SparqlError("BIND requires (expr AS ?var)")
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += {"(": 1, ")": -1}.get(toks[j], 0)
+                j += 1
+            if depth:
+                raise SparqlError("unbalanced parens in BIND")
+            body = toks[i + 2 : j - 1]
+            if len(body) < 3 or body[-2].upper() != "AS" \
+                    or not body[-1].startswith("?"):
+                raise SparqlError("BIND requires (expr AS ?var)")
+            g.elements.append(("bind", body[:-2], body[-1][1:]))
+            i = j
         elif t == "{":
+            if i + 1 < len(toks) and toks[i + 1].upper() == "SELECT":
+                j = _match_brace(toks, i)
+                g.elements.append(("subselect", toks[i + 1 : j - 1]))
+                i = j
+                continue
             sub, i = _parse_group(toks, i + 1)
             if i < len(toks) and toks[i].upper() == "UNION":
                 if i + 1 >= len(toks) or toks[i + 1] != "{":
@@ -243,6 +367,11 @@ _FILTER_FUNCS = {
     "LCASE": "lower",
     "ABS": "abs",
     "STR": "string",
+    "CONCAT": "concat",
+    "SUBSTR": "substr",
+    "REPLACE": "regexp_replace",  # SPARQL REPLACE is regex-based
+    "COALESCE": "coalesce",
+    "IF": "if",
 }
 
 
@@ -416,6 +545,7 @@ def _compile_group(triples: DataFrame, group: _Group,
     plan: DataFrame | None = None
     bound: set[str] = set()
     filters: list[list[str]] = []
+    exists: list[tuple[bool, _Group]] = []
     for idx, el in enumerate(group.elements):
         if isinstance(el, _Pattern):
             scan, vars_ = _compile_pattern(triples, el, prefixes, idx)
@@ -423,6 +553,43 @@ def _compile_group(triples: DataFrame, group: _Group,
         elif el[0] == "filter":
             filters.append(el[1])
             continue
+        elif el[0] == "exists":
+            exists.append((el[1], el[2]))
+            continue
+        elif el[0] == "bind":
+            # BIND applies to the solutions built so far, in sequence
+            if plan is None:
+                raise SparqlError("BIND cannot be the first group element")
+            expr_toks, alias = el[1], el[2]
+            if alias in bound:
+                raise SparqlError(f"BIND reassigns bound variable ?{alias}")
+            plan = plan.withColumn(alias, F.expr(_filter_sql(expr_toks)))
+            bound = bound | {alias}
+            continue
+        elif el[0] == "minus":
+            # SPARQL MINUS: drop solutions compatible with the right side.
+            # Exact under SQL semantics when the shared variables are bound;
+            # with NO shared variables the spec keeps everything (domains
+            # are disjoint, every pair is trivially compatible but removal
+            # requires a shared binding) → no-op.
+            if plan is None:
+                raise SparqlError("MINUS cannot be the first group element")
+            right, rv = _compile_group(triples, el[1], prefixes)
+            keys = sorted(bound & rv)
+            if keys:
+                plan = plan.join(right.select(*keys).distinct(),
+                                 keys, "left_anti")
+            continue
+        elif el[0] == "values":
+            vars_, rows = el[1], el[2]
+            data = [tuple(_term_value(t, prefixes) for t in row)
+                    for row in rows]
+            scan = triples.sparkSession.createDataFrame(
+                data, ", ".join(f"`{v}` string" for v in vars_))
+            vars_, how = set(vars_), "inner"
+        elif el[0] == "subselect":
+            scan, out_cols = _compile_select(triples, el[1], prefixes)
+            vars_, how = set(out_cols), "inner"
         elif el[0] == "optional":
             scan, vars_ = _compile_group(triples, el[1], prefixes)
             how = "left"
@@ -447,6 +614,19 @@ def _compile_group(triples: DataFrame, group: _Group,
     # SPARQL filter scope: the enclosing group, after all elements joined
     for ftoks in filters:
         plan = plan.where(_filter_sql(ftoks))
+    # EXISTS/NOT EXISTS: correlated on the shared variables → semi/anti join
+    # (the standard decorrelation; exact for the supported fragment, where
+    # the inner group references the outer row only through shared vars)
+    for positive, sub in exists:
+        sub_plan, sub_vars = _compile_group(triples, sub, prefixes)
+        keys = sorted(bound & sub_vars)
+        how = "left_semi" if positive else "left_anti"
+        if keys:
+            plan = plan.join(sub_plan.select(*keys).distinct(), keys, how)
+        else:
+            # uncorrelated: gate on whether the inner group has any row
+            marker = sub_plan.limit(1).select(F.lit(1).alias("_e"))
+            plan = plan.join(marker, F.lit(True), how)
     return plan, bound
 
 
@@ -525,15 +705,45 @@ def _agg_col(it: _SelectItem):
     return c.alias(it.alias)
 
 
-def query(triples: DataFrame, sparql: str) -> DataFrame:
-    """Run a SELECT query against lexical triples
-    (subj, pred, obj_lexical, obj_kind, ...) → one column per variable."""
-    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(sparql)}
-    stripped = _PREFIX_RE.sub(" ", sparql).strip()
-    toks = _tokenize(stripped)
-    if not toks or toks[0].upper() != "SELECT":
-        raise SparqlError("only SELECT queries are supported")
+def _rewrite_having(toks: list[str], items: list[_SelectItem]) -> list[str]:
+    """HAVING tokens with AGG(?v) calls → the matching SELECT alias as a
+    ?var token (so _filter_sql renders it as a column reference)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        up = toks[i].upper()
+        if up in _AGG_FUNCS and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += {"(": 1, ")": -1}.get(toks[j], 0)
+                j += 1
+            inner = toks[i + 2 : j - 1]
+            adist = bool(inner) and inner[0].upper() == "DISTINCT"
+            arg = inner[1] if adist else (inner[0] if inner else None)
+            match = next(
+                (it for it in items
+                 if it.agg == up and it.agg_arg == arg
+                 and it.distinct == adist),
+                None)
+            if match is None:
+                raise SparqlError(
+                    f"HAVING aggregate {up}({' '.join(inner)}) must also "
+                    "appear in the SELECT clause")
+            out.append("?" + match.alias)
+            i = j
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
 
+
+def _compile_select(triples: DataFrame, toks: list[str],
+                    prefixes: dict[str, str]) -> tuple[DataFrame, list[str]]:
+    """SELECT token list (``SELECT`` through trailing modifiers) →
+    (projected plan, output column names).  Shared by ``query()`` and
+    ``{ SELECT ... }`` subqueries."""
+    if not toks or toks[0].upper() != "SELECT":
+        raise SparqlError("expected SELECT")
     # split SELECT items / WHERE group / tail modifiers
     try:
         w = next(i for i, t in enumerate(toks) if t.upper() == "WHERE")
@@ -547,10 +757,13 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
 
     plan, bound = _compile_group(triples, group, prefixes)
 
-    # tail: GROUP BY ?v... | ORDER BY [ASC|DESC] (?v) | LIMIT n
+    # tail: GROUP BY ?v... | HAVING(expr) | ORDER BY [ASC|DESC] (?v)
+    #     | LIMIT n | OFFSET n
     group_by: list[str] = []
+    having: list[str] | None = None
     order: list[tuple[str, bool]] = []  # (var, desc)
     limit: int | None = None
+    offset: int | None = None
     j = 0
     while j < len(tail):
         up = tail[j].upper()
@@ -559,6 +772,17 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
             while j < len(tail) and tail[j].startswith("?"):
                 group_by.append(tail[j][1:])
                 j += 1
+        elif up == "HAVING":
+            if j + 1 >= len(tail) or tail[j + 1] != "(":
+                raise SparqlError("HAVING requires parenthesized expression")
+            depth, k = 1, j + 2
+            while k < len(tail) and depth:
+                depth += {"(": 1, ")": -1}.get(tail[k], 0)
+                k += 1
+            if depth:
+                raise SparqlError("unbalanced parens in HAVING")
+            having = tail[j + 2 : k - 1]
+            j = k
         elif up == "ORDER" and j + 1 < len(tail) and tail[j + 1].upper() == "BY":
             j += 2
             while j < len(tail):
@@ -580,6 +804,9 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
         elif up == "LIMIT":
             limit = int(tail[j + 1])
             j += 2
+        elif up == "OFFSET":
+            offset = int(tail[j + 1])
+            j += 2
         else:
             raise SparqlError(f"unexpected token after WHERE: {tail[j]!r}")
 
@@ -591,10 +818,13 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
             raise SparqlError(f"unbound GROUP BY variables: {missing}")
         aggs = [_agg_col(it) for it in items if it.agg]
         plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
+        if having is not None:
+            plan = plan.where(_filter_sql(_rewrite_having(having, items)))
         out_cols = [it.out_name for it in items]
         plan = plan.select(*out_cols)
-        bound = set(out_cols) | set(keys)
     else:
+        if having is not None:
+            raise SparqlError("HAVING requires aggregates in SELECT")
         if items is None:
             out_cols = sorted(bound)
         else:
@@ -613,6 +843,126 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
         plan = plan.orderBy(*[
             F.col(v).desc() if d else F.col(v).asc() for v, d in order
         ])
+    if offset is not None:
+        plan = plan.offset(offset)
     if limit is not None:
         plan = plan.limit(limit)
+    return plan, out_cols
+
+
+def _prep(sparql: str) -> tuple[list[str], dict[str, str]]:
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(sparql)}
+    stripped = _PREFIX_RE.sub(" ", sparql).strip()
+    return _tokenize(stripped), prefixes
+
+
+def query(triples: DataFrame, sparql: str) -> DataFrame:
+    """Run a SELECT or ASK query against lexical triples
+    (subj, pred, obj_lexical, obj_kind, ...).  SELECT → one column per
+    variable; ASK → a single-row DataFrame with one boolean ``ask`` column
+    (false via the empty-input aggregate when no solution exists)."""
+    toks, prefixes = _prep(sparql)
+    if toks and toks[0].upper() == "ASK":
+        if len(toks) < 2:
+            raise SparqlError("ASK requires a group")
+        i = 1
+        if toks[1].upper() == "WHERE":
+            i = 2
+        if i >= len(toks) or toks[i] != "{":
+            raise SparqlError("ASK requires a group")
+        group, j = _parse_group(toks, i + 1)
+        if toks[j:]:
+            raise SparqlError(f"unexpected token after ASK group: {toks[j]!r}")
+        plan, _ = _compile_group(triples, group, prefixes)
+        return plan.limit(1).agg(
+            (F.count(F.lit(1)) > F.lit(0)).alias("ask"))
+    if not toks or toks[0].upper() != "SELECT":
+        raise SparqlError("only SELECT / ASK queries are supported here "
+                          "(use construct() for CONSTRUCT)")
+    plan, _ = _compile_select(triples, toks, prefixes)
     return plan
+
+
+def ask(triples: DataFrame, sparql: str) -> bool:
+    """ASK convenience wrapper: compile + execute, return the boolean."""
+    return bool(query(triples, sparql).head()["ask"])
+
+
+def construct(triples: DataFrame, sparql: str) -> DataFrame:
+    """CONSTRUCT { template } WHERE { ... } → a lexical-triples DataFrame
+    (subj, pred, obj_lexical, obj_kind).
+
+    Term kinds for variable objects are recovered by joining the source
+    graph's term dictionary (a term seen anywhere as IRI counts as IRI);
+    datatype/language tags are not tracked through variables — constructed
+    literals are plain, documented as a simplification of RDF 1.1
+    CONSTRUCT semantics."""
+    toks, prefixes = _prep(sparql)
+    if not toks or toks[0].upper() != "CONSTRUCT":
+        raise SparqlError("expected CONSTRUCT")
+    if len(toks) < 2 or toks[1] != "{":
+        raise SparqlError("CONSTRUCT requires a template group")
+    tmpl_group, i = _parse_group(toks, 2)
+    template = [el for el in tmpl_group.elements if isinstance(el, _Pattern)]
+    if len(template) != len(tmpl_group.elements) or not template:
+        raise SparqlError("CONSTRUCT template must be plain triple patterns")
+    if i >= len(toks) or toks[i].upper() != "WHERE" or toks[i + 1] != "{":
+        raise SparqlError("CONSTRUCT requires WHERE { ... }")
+    group, j = _parse_group(toks, i + 2)
+    if toks[j:]:
+        raise SparqlError(
+            f"unexpected token after CONSTRUCT WHERE: {toks[j]!r}")
+    plan, bound = _compile_group(triples, group, prefixes)
+
+    # term → kind dictionary (iri beats literal when a lexical form is both)
+    kind_rank = F.when(F.col("obj_kind") == "iri", 0) \
+                 .when(F.col("obj_kind") == "blank", 1).otherwise(2)
+    kinds = (
+        triples.select(F.col("obj_lexical").alias("_term"),
+                       kind_rank.alias("_rank"))
+        .union(triples.select(F.col("subj"), F.lit(0)))
+        .groupBy("_term").agg(F.min("_rank").alias("_rank"))
+        .select("_term",
+                F.element_at(F.array(F.lit("iri"), F.lit("blank"),
+                                     F.lit("literal")),
+                             F.col("_rank") + 1).alias("_kind"))
+    )
+
+    def term_col(term: str):
+        """template term → (value column, kind column|None for lookup)"""
+        if term.startswith("?"):
+            v = term[1:]
+            if v not in bound:
+                raise SparqlError(f"unbound variable in template: ?{v}")
+            return F.col(v), None  # kind via dictionary join (objects only)
+        if term.startswith('"'):
+            return F.lit(_term_value(term, prefixes)), F.lit("literal")
+        return F.lit(_expand(term, prefixes)), F.lit("iri")
+
+    outs = []
+    for pat in template:
+        if isinstance(pat.pred, tuple):
+            raise SparqlError("property paths are not allowed in templates")
+        s_col, _ = term_col(pat.subj)
+        p_col, _ = term_col(pat.pred)
+        o_col, o_kind = term_col(pat.obj)
+        row = plan.select(s_col.alias("subj"), p_col.alias("pred"),
+                          o_col.alias("obj_lexical"))
+        if o_kind is not None:
+            row = row.withColumn("obj_kind", o_kind)
+        else:
+            # NOT broadcast: the term dictionary is O(graph); equi-join and
+            # let AQE choose (it broadcasts automatically on small graphs)
+            row = (
+                row.join(kinds,
+                         row["obj_lexical"] == kinds["_term"], "left")
+                .select("subj", "pred", "obj_lexical",
+                        F.coalesce("_kind", F.lit("literal"))
+                        .alias("obj_kind"))
+            )
+        outs.append(row)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    # CONSTRUCT produces an RDF graph — a set of triples
+    return result.distinct()
