@@ -580,6 +580,38 @@ FROM documents
 """
 
 
+def q_kg_rdfstar_reify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF 1.2 triple terms: annotate every provider edge with its document
+    (rdf:reifies + schema:about pair per triple, reifier = content-hashed
+    blank node), then serialize to N-Triples 1.2 and parse back — the
+    oracle reconstructs the reification graph in SQL, so a divergence in
+    rendering, hashing, or the triple-term parser all go red."""
+    from trident_spark.pipeline import rdfstar, sinks
+
+    prov = _doc_triples(spark, sf_dir).where(
+        F.col("pred") == SCHEMA + "provider")
+    reified = rdfstar.reify(
+        prov.withColumn("prov_doc", F.col("subj")),
+        SCHEMA + "about", "prov_doc", ann_kind="iri")
+    back = sinks.from_ntriples(sinks.to_ntriples(reified))
+    return back.select("subj", "pred", "obj_lexical", "obj_kind")
+
+
+_KG_RDFSTAR_ORACLE = f"""
+WITH p AS (
+  SELECT '<<( <{DOC_BASE}/doc/' || doc_id || '> <{SCHEMA}provider> ' ||
+         '<{DOC_BASE}/org/' || source || '> )>>' AS tt,
+         '{DOC_BASE}/doc/' || doc_id AS doc
+  FROM documents
+)
+SELECT '_:r' || md5(tt) AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies' AS pred,
+       tt AS obj_lexical, 'triple' AS obj_kind FROM p
+UNION ALL
+SELECT '_:r' || md5(tt), '{SCHEMA}about', doc, 'iri' FROM p
+"""
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
@@ -1268,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_construct": q_kg_sparql_construct,
+        "kg_rdfstar_reify": q_kg_rdfstar_reify,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1358,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_subquery": _KG_SPARQL_SUBQUERY_ORACLE,
         "kg_sparql_ask": _KG_SPARQL_ASK_ORACLE,
         "kg_sparql_construct": _KG_SPARQL_CONSTRUCT_ORACLE,
+        "kg_rdfstar_reify": _KG_RDFSTAR_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

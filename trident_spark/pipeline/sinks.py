@@ -53,6 +53,9 @@ def _render_object():
         # _:label — without this branch they'd fall through to the literal
         # arm and silently serialize as the string "_:b1"
         .when(F.col("obj_kind") == "blank", obj)
+        # RDF 1.2 triple terms are stored pre-rendered (<<( s p o )>>, see
+        # pipeline/rdfstar.py) — emit verbatim
+        .when(F.col("obj_kind") == "triple", obj)
         .when(F.col("obj_lang").isNotNull(), lit_lang)
         .when(F.col("obj_datatype").isNotNull(), lit_dt)
         .otherwise(lit)
@@ -149,6 +152,10 @@ def to_turtle(skolemized: DataFrame,
     lit = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
     rendered_obj = (
         F.when(F.col("obj_kind") == "iri", compact(obj))
+        # valid Turtle 1.2 triple-term syntax; note pipeline/turtle.py's
+        # parser reads classic Turtle only — triple-term round-trips go
+        # through N-Triples/N-Quads
+        .when(F.col("obj_kind") == "triple", obj)
         .when(F.col("obj_lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("obj_lang")))
         .when(F.col("obj_datatype").isNotNull(),
               F.concat(lit, F.lit("^^"), compact(F.col("obj_datatype"))))
@@ -190,12 +197,28 @@ _NT_LINE = re.compile(
 _UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
 _UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
 
+# RDF 1.2 (N-Triples 1.2) triple-term object: <<( ... )>> stored verbatim as
+# the canonical lexical form.  Greedy .* lands on the LAST ')>>' so nested
+# terms stay inside the object and a trailing graph IRI is not swallowed.
+_TT_LINE = re.compile(
+    r"^(?:<(?P<s>[^>]*)>|(?P<s_blank>_:[A-Za-z0-9]+)) <(?P<p>[^>]*)> "
+    r"(?P<tt><<\(.*\)>>)"
+    r"(?: <(?P<g>[^>]*)>)?"
+    r" \.$"
+)
+
 
 def parse_nquads_line(line: str):
     """One N-Quads line → (subj, pred, obj_lexical, obj_kind, dt, lang,
     graph) — graph is None for plain N-Triples (default-graph) lines."""
     m = _NT_LINE.match(line.strip())
     if not m:
+        t = _TT_LINE.match(line.strip())
+        if t:
+            subj = t.group("s") if t.group("s") is not None \
+                else t.group("s_blank")
+            return (subj, t.group("p"), t.group("tt"), "triple",
+                    None, None, t.group("g"))
         return None
     subj = m.group("s") if m.group("s") is not None else m.group("s_blank")
     g = m.group("g")
