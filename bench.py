@@ -148,6 +148,8 @@ def run_headline(spark) -> dict[str, float]:
         "kg_sparql_agg",
         "kg_turtle_roundtrip",
         "kg_nquads_roundtrip",
+        "kg_rdfstar_reify",
+        "kg_sparql_subquery",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",

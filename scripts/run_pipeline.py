@@ -81,11 +81,16 @@ def main() -> None:
     t0 = time.monotonic()
     result = build_kg(pages, alias_dict=alias)
 
-    sink.write(result.terms, "terms")
-    sink.write(result.triples, "triples")
-    to_ntriples(result.skolemized).write.mode("append").text(f"{out}/ntriples")
+    # fresh runs overwrite; only --resume appends (incremental buckets).
+    # A blind append on a re-run into an existing output dir would silently
+    # duplicate every triple — exact-2x duplication, invisible to counts
+    # unless compared against DISTINCT.
+    mode = "append" if args.resume else "overwrite"
+    sink.write(result.terms, "terms", mode=mode)
+    sink.write(result.triples, "triples", mode=mode)
+    to_ntriples(result.skolemized).write.mode(mode).text(f"{out}/ntriples")
     sink.write(lineage.compute_lineage(result.skolemized, "triples",
-                                       args.n_buckets), "lineage")
+                                       args.n_buckets), "lineage", mode=mode)
 
     n_triples = sink.read("triples").count()
     n_bad = result.page_results.where("NOT text_ok").count()

@@ -261,3 +261,92 @@ def test_fast_parser_matches_ref_on_html_shaped_fuzz():
     for k in range(1500):
         s = _rnd_html(random.Random(k))
         assert _tree_sig(parse_html(s)) == _tree_sig(parse_html_ref(s)), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# to_iri fast path: differential fuzz vs the definitional slow path
+# (CLAUDE.md rule 8: every fast path gets a behaviour-identity gate)
+# ---------------------------------------------------------------------------
+
+
+def _to_iri_slow(base_url: str, ref: str):
+    """The definitional semantics to_iri's fast path must reproduce."""
+    from trident_spark.kernels import iri as K
+
+    try:
+        base = K.parse_ref(base_url)
+    except K.IRIError:
+        base = None
+    try:
+        resolved = K.resolve(base, ref).iri if base is not None \
+            else K.parse_iri(ref).iri
+        return K.normalize(resolved)
+    except K.IRIError:
+        return None
+
+
+_TO_IRI_BASES = [
+    "https://example.org/dir/page.html",
+    "https://example.org/",
+    "https://EXAMPLE.org:443/a/b/",          # normalizes: case + def. port
+    "http://example.org:8080/x?q=1#frag",
+    "https://user@example.org/a/./b/../c",   # dot segments in the base
+    "https://example.org",                   # empty path + authority
+    "file:///tmp/data/",
+    "https://xn--bcher-kva.example/b/",      # punycode host
+    "not a url",                             # unparseable base
+]
+
+_TO_IRI_REFS = [
+    "/entity/thing-123", "/a/b/c", "/", "//other.org/x", "/a:b/c",
+    "img.png", "a/b", "sub/dir/", "a:b", "1:b", "x/a:b", "",
+    "?q=2", "#frag", "page.html#s", "a%20b", "/p%41th", "/a/../b",
+    "./same", "../up", "/dot./x", "/x/.hidden", "..", ".",
+    "/üñïcode", "päge.html", "/path with space", "/q?x=1", "/semi;p=1",
+    "/!$&'()*+,;=:@", "odd\ttab", "/end/", "trailing.", "/a//b",
+]
+
+
+def test_to_iri_fast_path_matches_slow():
+    from trident_spark.kernels.extract import _Ctx
+
+    for base in _TO_IRI_BASES:
+        ctx = _Ctx(base)
+        for ref in _TO_IRI_REFS:
+            # bypass the per-page cache: fresh context per (base, ref)
+            got = _Ctx(base).to_iri(ref)
+            want = _to_iri_slow(base, ref)
+            assert got == want, (base, ref, got, want)
+
+
+def test_to_iri_fast_path_matches_slow_fuzz():
+    import random
+
+    from trident_spark.kernels.extract import _Ctx
+
+    seg_chars = "abXY09-._~!$&'()*+,;=:@%/ü #?\\"
+    rng = random.Random(1234)
+    for _ in range(4000):
+        base = rng.choice(_TO_IRI_BASES)
+        ref = "".join(rng.choice(seg_chars)
+                      for _ in range(rng.randint(1, 18)))
+        if rng.random() < 0.3:
+            ref = "/" + ref
+        if rng.random() < 0.15:
+            ref = "./" + ref
+        got = _Ctx(base).to_iri(ref)
+        want = _to_iri_slow(base, ref)
+        assert got == want, (base, ref, got, want)
+
+
+def test_to_iri_fast_path_after_set_base():
+    """<base href> mutates the page base — the precomputed prefix/dir must
+    follow it, not the original url."""
+    from trident_spark.kernels.extract import _Ctx
+
+    ctx = _Ctx("https://example.org/old/page.html")
+    ctx.set_base("https://cdn.example.net/assets/")
+    assert ctx.to_iri("/img.png") == "https://cdn.example.net/img.png"
+    assert ctx.to_iri("x.css") == "https://cdn.example.net/assets/x.css"
+    assert ctx.to_iri("x.css") == _to_iri_slow(
+        "https://cdn.example.net/assets/", "x.css")

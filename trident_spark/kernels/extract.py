@@ -308,6 +308,14 @@ _ABS_IRI_CACHE_MAX = 200_000
 _SCHEME_PREFIX_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
+# fast-path guards for relative resolution (see _Ctx.to_iri): pchar minus
+# '%' (no pct-decoding can apply), pure ASCII (NFC/case-invariant), and no
+# "." / ".." segments (remove_dot_segments is the identity) — under these,
+# resolve+normalize collapse to string concatenation with a normalized base
+_SAFE_REL_RE = re.compile(r"^[A-Za-z0-9\-._~/!$&'()*+,;=:@]+$")
+_DOTSEG_RE = re.compile(r"(^|/)\.\.?(/|$)")
+
+
 class _Ctx:
     """Per-page extraction context: base resolution + blank-node labels."""
 
@@ -318,6 +326,25 @@ class _Ctx:
             self.base = K.parse_ref(base_url)
         except K.IRIError:
             self.base = None
+        self._setup_fast()
+
+    def _setup_fast(self) -> None:
+        """Precompute the normalized scheme://authority prefix and base
+        directory; None disables the to_iri fast path for this page."""
+        self._fast_prefix: str | None = None
+        self._fast_dir = "/"
+        if self.base is None:
+            return
+        try:
+            nb = K.normalize(self.base)
+            c = K.components(K.parse_ref(nb))
+        except K.IRIError:
+            return
+        path = c.path or ""
+        if c.authority is None or _DOTSEG_RE.search(path):
+            return
+        self._fast_prefix = f"{c.scheme}://{c.authority}"
+        self._fast_dir = path[: path.rfind("/") + 1] if "/" in path else "/"
 
     def set_base(self, href: str) -> None:
         if self.base is not None:
@@ -325,6 +352,7 @@ class _Ctx:
                 self.base = K.resolve(self.base, href)
             except K.IRIError:
                 pass
+            self._setup_fast()
 
     def new_bnode(self) -> str:
         self.bnode_counter += 1
@@ -347,6 +375,27 @@ class _Ctx:
         hit = self._norm_cache.get(ref, "")
         if hit != "":
             return hit
+        # fast path (differentially fuzzed vs the slow path below in
+        # tests/test_extract_kernel.py::test_to_iri_fast_path_matches_slow):
+        # safe-ASCII ref, no pct-escapes, no dot segments, base normalized →
+        # resolve+normalize is concatenation.  A ':' before the first '/'
+        # of a path-relative ref would be the ambiguous scheme-like form
+        # parse_ref rejects, so those fall through to the slow path.
+        if (self._fast_prefix is not None
+                and "//" not in ref  # parse_ref rejects // inside paths
+                and _SAFE_REL_RE.match(ref)
+                and not _DOTSEG_RE.search(ref)):
+            # "//host/x" is a network-path reference (new authority) —
+            # only single-slash path-absolute refs take the concat shortcut
+            if ref.startswith("/"):
+                if not ref.startswith("//"):
+                    value = self._fast_prefix + ref
+                    self._norm_cache[ref] = value
+                    return value
+            elif ":" not in ref:
+                value = self._fast_prefix + self._fast_dir + ref
+                self._norm_cache[ref] = value
+                return value
         try:
             if self.base is not None:
                 resolved = K.resolve(self.base, ref).iri
