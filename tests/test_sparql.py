@@ -568,3 +568,112 @@ def test_construct_constant_template_terms(spark, people):
         ("http://x/alice", SCHEMA + "Employee", "iri"),
         ("http://x/bob", SCHEMA + "Employee", "iri"),
     }
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.2 quoted-triple patterns (over pipeline/rdfstar.py reifications)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reified(spark):
+    from pyspark.sql import functions as F
+
+    from trident_spark.pipeline import rdfstar
+
+    cols = COLS + ", src string"
+    rows = [
+        ("http://x/d1", "http://p/provider", "http://x/org1", "iri",
+         None, None, "src1"),
+        ("http://x/d2", "http://p/provider", "http://x/org2", "iri",
+         None, None, "src2"),
+        ("http://x/d2", "http://p/title", 'He said "hi"', "literal",
+         None, None, "src2"),
+    ]
+    g = spark.createDataFrame(rows, cols)
+    return rdfstar.reify(g, "http://p/source", "src") \
+        .union(g.drop("src")).cache()
+
+
+def test_quoted_pattern_binds_components(spark, reified):
+    df = query(reified, """
+        SELECT ?d ?o ?v WHERE {
+          ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+             <<( ?d <http://p/provider> ?o )>> .
+          ?r <http://p/source> ?v .
+        }
+    """)
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("http://x/d1", "http://x/org1", "src1"),
+        ("http://x/d2", "http://x/org2", "src2"),
+    ]
+
+
+def test_quoted_pattern_constant_subject(spark, reified):
+    df = query(reified, """
+        SELECT ?v WHERE {
+          ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+             <<( <http://x/d1> <http://p/provider> ?o )>> .
+          ?r <http://p/source> ?v .
+        }
+    """)
+    assert [r["v"] for r in df.collect()] == ["src1"]
+
+
+def test_quoted_pattern_literal_object_escaping(spark, reified):
+    df = query(reified, """
+        SELECT ?d WHERE {
+          ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+             <<( ?d <http://p/title> "He said \\"hi\\"" )>> .
+        }
+    """)
+    assert [r["d"] for r in df.collect()] == ["http://x/d2"]
+
+
+def test_quoted_pattern_plain_literal_does_not_match_tagged(spark, reified):
+    # pattern "nope" matches nothing (value mismatch — exact-form compare)
+    df = query(reified, """
+        SELECT ?d WHERE {
+          ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+             <<( ?d <http://p/title> "nope" )>> .
+        }
+    """)
+    assert df.count() == 0
+
+
+def test_quoted_pattern_subject_position_rejected(spark, reified):
+    with pytest.raises(SparqlError, match="object terms only"):
+        query(reified, """
+            SELECT ?p WHERE { <<( ?a ?b ?c )>> ?p ?o }
+        """)
+
+
+def test_join_reordering_avoids_cross_join(spark, graph):
+    """Patterns written disconnected-first used to cross join; the greedy
+    reorder connects through shared variables instead."""
+    q = """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?an ?bn WHERE {
+            ?a schema:name ?an .
+            ?b schema:name ?bn .
+            ?a schema:worksFor ?b .
+        }
+    """
+    df = query(graph, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r["an"], r["bn"]) for r in df.collect()}
+    assert got == {("Alice", "Acme"), ("Bob", "Globex")}
+
+
+def test_genuinely_disconnected_patterns_still_cross(spark, graph):
+    # semantically required cross join survives the reorder
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p ?o WHERE {
+            ?p a schema:Person .
+            ?o a schema:Organization .
+        }
+    """)
+    assert df.count() == 4

@@ -60,7 +60,8 @@ _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>\s]*)>", re.IGNORECASE)
 # '=' inside a string
 _TOKEN_RE = re.compile(
     r"""
-      <[^\s<>]*>                                        # IRI
+      <<\( | \)>>                                       # RDF 1.2 triple term
+    | <[^\s<>]*>                                        # IRI
     | "(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^\S+)?     # literal (+lang/dt)
     | \?\w+                                             # variable
     | [A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_\-.]*)?    # keyword / pname / a
@@ -89,10 +90,20 @@ def _tokenize(s: str) -> list[str]:
 
 
 @dataclass
+class _Quoted:
+    """RDF 1.2 quoted-triple object pattern: ``<<( s p o )>>`` with each
+    slot a variable or constant token.  Only the object position — triple
+    terms cannot be subjects in RDF 1.2."""
+    subj: str
+    pred: str
+    obj: str
+
+
+@dataclass
 class _Pattern:
     subj: str
     pred: "str | tuple"  # IRI/var token, or a property-path AST tuple
-    obj: str
+    obj: "str | _Quoted"
 
 
 # property-path AST: ("iri", token) | ("inv", p) | ("seq", p, q)
@@ -303,6 +314,9 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
                 g.elements.append(("group", sub))
         elif t == ".":
             i += 1  # statement separator
+        elif t in ("<<(", ")>>"):
+            raise SparqlError(
+                "quoted triples are object terms only (RDF 1.2)")
         else:
             # triple: subject, then ';'-separated predicate-object lists
             # with ','-separated objects
@@ -321,10 +335,25 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
                     # atomic paths stay plain strings (the fast common case)
                     pred = node[1] if node[0] == "iri" else node
                 while True:
-                    if not _is_term(toks[i]):
+                    if toks[i] == "<<(":
+                        # RDF 1.2 quoted-triple object pattern
+                        if i + 4 >= len(toks) or toks[i + 4] != ")>>":
+                            raise SparqlError(
+                                "quoted-triple pattern must be "
+                                "<<( subj pred obj )>>")
+                        inner = toks[i + 1 : i + 4]
+                        if any(not _is_term(x) or x in ("<<(", ")>>")
+                               for x in inner):
+                            raise SparqlError(
+                                "malformed quoted-triple pattern")
+                        obj: "str | _Quoted" = _Quoted(*inner)
+                        i += 5
+                    elif _is_term(toks[i]):
+                        obj = toks[i]
+                        i += 1
+                    else:
                         raise SparqlError(f"malformed object after {pred!r}")
-                    g.elements.append(_Pattern(subj, pred, toks[i]))
-                    i += 1
+                    g.elements.append(_Pattern(subj, pred, obj))
                     if i < len(toks) and toks[i] == ",":
                         i += 1
                         continue
@@ -477,8 +506,94 @@ def _compile_path(triples: DataFrame, node: tuple,
     raise SparqlError(f"unknown path node {node!r}")  # pragma: no cover
 
 
+# quoted-triple component extraction (pure Catalyst regexp over the stored
+# canonical <<( s p o )>> form — see pipeline/rdfstar.py for the writer)
+_Q_SUBJ_IRI = r"^<<\( <([^>]*)> "
+_Q_SUBJ_BLANK = r"^<<\( (_:[A-Za-z0-9]+) "
+_Q_PRED = r"^<<\( (?:<[^>]*>|_:[A-Za-z0-9]+) <([^>]*)> "
+_Q_OBJ = r"^<<\( (?:<[^>]*>|_:[A-Za-z0-9]+) <[^>]*> (.*) \)>>$"
+
+
+def _unescape_nt_col(col):
+    """N-Triples literal unescape, JVM-side: \\\\ \\" \\n \\r \\t.
+    The backslash pass goes through a sentinel so later passes cannot
+    double-decode (e.g. the '\\\\n' in 'a\\\\nb' must yield backslash+n)."""
+    c = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
+    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
+    return F.replace(c, F.lit("\x00"), F.lit("\\"))
+
+
+def _escape_nt(s: str) -> str:
+    for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                 ("\r", "\\r"), ("\t", "\\t")):
+        s = s.replace(a, b)
+    return s
+
+
+def _compile_quoted(triples: DataFrame, pat: _Pattern,
+                    prefixes: dict[str, str], idx: int
+                    ) -> tuple[DataFrame, set[str]]:
+    """Pattern with a quoted-triple object: filter obj_kind='triple' rows
+    and match/bind the embedded components (SPARQL 1.2 triple-term
+    patterns), all in whole-stage codegen."""
+    q: _Quoted = pat.obj
+    scan = triples.where(F.col("obj_kind") == "triple")
+    rename: dict[str, str] = {}
+    for col, term in (("subj", pat.subj), ("pred", pat.pred)):
+        if isinstance(term, tuple):
+            raise SparqlError(
+                "property paths cannot carry quoted-triple objects")
+        if term.startswith("?"):
+            rename[col] = term[1:]
+        else:
+            scan = scan.where(F.col(col) == _expand(term, prefixes))
+
+    lex = F.col("obj_lexical")
+    q_subj = F.when(F.regexp_extract(lex, _Q_SUBJ_IRI, 1) != "",
+                    F.regexp_extract(lex, _Q_SUBJ_IRI, 1)) \
+        .otherwise(F.regexp_extract(lex, _Q_SUBJ_BLANK, 1))
+    q_pred = F.regexp_extract(lex, _Q_PRED, 1)
+    raw_obj = F.regexp_extract(lex, _Q_OBJ, 1)
+    # raw object → lexical value matching what plain patterns bind
+    q_obj = (
+        F.when(raw_obj.startswith("<<("), raw_obj)          # nested term
+        .when(raw_obj.startswith("<"),
+              F.regexp_extract(raw_obj, r"^<(.*)>$", 1))    # IRI
+        .when(raw_obj.startswith("_:"), raw_obj)            # blank
+        .otherwise(_unescape_nt_col(
+            F.regexp_extract(raw_obj, r'^"((?:[^"\\]|\\.)*)"', 1)))
+    )
+
+    proj_cols = {"q_subj": q_subj, "q_pred": q_pred, "q_obj": q_obj}
+    for name, term in (("q_subj", q.subj), ("q_pred", q.pred),
+                       ("q_obj", q.obj)):
+        expr = proj_cols[name]
+        if term.startswith("?"):
+            rename[name] = term[1:]
+        elif term.startswith('"') and name == "q_obj":
+            # constants compare on the RENDERED form — escaping parity
+            # with the writer, no decode needed
+            scan = scan.where(
+                raw_obj == '"' + _escape_nt(_term_value(term, prefixes)) + '"')
+        else:
+            scan = scan.where(expr == _expand(term, prefixes))
+
+    cols = dict(subj=F.col("subj"), pred=F.col("pred"), **proj_cols)
+    proj = [cols[c].alias(v) for c, v in rename.items()]
+    if proj:
+        scan = scan.select(*proj).distinct()
+    else:
+        scan = scan.select(F.lit(1).alias(f"_m{idx}")).limit(1)
+    return scan, set(rename.values())
+
+
 def _compile_pattern(triples: DataFrame, pat: _Pattern,
                      prefixes: dict[str, str], idx: int) -> tuple[DataFrame, set[str]]:
+    if isinstance(pat.obj, _Quoted):
+        return _compile_quoted(triples, pat, prefixes, idx)
     if isinstance(pat.pred, tuple):
         pairs = _compile_path(triples, pat.pred, prefixes)
         rename: dict[str, str] = {}
@@ -540,13 +655,81 @@ def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
     return plan, bound | vars_
 
 
+def _pattern_vars(p: _Pattern) -> set[str]:
+    out = set()
+    terms = [p.subj]
+    if isinstance(p.pred, str):
+        terms.append(p.pred)
+    if isinstance(p.obj, _Quoted):
+        terms += [p.obj.subj, p.obj.pred, p.obj.obj]
+    else:
+        terms.append(p.obj)
+    for t in terms:
+        if t.startswith("?"):
+            out.add(t[1:])
+    return out
+
+
+def _selectivity(p: _Pattern) -> int:
+    """Classic bound-term heuristic: constants in subject > predicate >
+    object position; property paths are the least selective."""
+    score = 0
+    if not p.subj.startswith("?"):
+        score += 4
+    if isinstance(p.pred, tuple):
+        score -= 2  # path closure: potentially large endpoint relation
+    elif not p.pred.startswith("?"):
+        score += 2
+    obj_terms = ([p.obj.subj, p.obj.pred, p.obj.obj]
+                 if isinstance(p.obj, _Quoted) else [p.obj])
+    score += sum(1 for t in obj_terms if not t.startswith("?"))
+    return score
+
+
+def _reorder_patterns(patterns: list[_Pattern]) -> list[_Pattern]:
+    """Greedy join ordering for a run of inner-joined triple patterns:
+    start from the most selective, always prefer a pattern connected to the
+    already-bound variables (avoiding cross joins unless the BGP is
+    genuinely disconnected).  Inner joins commute and filters apply at
+    group scope, so this is semantics-preserving."""
+    remaining = list(patterns)
+    out: list[_Pattern] = []
+    bound: set[str] = set()
+    while remaining:
+        connected = [p for p in remaining
+                     if not bound or (_pattern_vars(p) & bound)]
+        pool = connected or remaining
+        best = max(pool, key=_selectivity)
+        remaining.remove(best)
+        out.append(best)
+        bound |= _pattern_vars(best)
+    return out
+
+
+def _reorder_group(elements: list) -> list:
+    """Reorder each maximal run of consecutive triple patterns; order
+    across OPTIONAL/MINUS/BIND/... boundaries is preserved (those are
+    sequence-sensitive in the SPARQL algebra)."""
+    out: list = []
+    run: list[_Pattern] = []
+    for el in elements:
+        if isinstance(el, _Pattern):
+            run.append(el)
+        else:
+            out += _reorder_patterns(run)
+            run = []
+            out.append(el)
+    out += _reorder_patterns(run)
+    return out
+
+
 def _compile_group(triples: DataFrame, group: _Group,
                    prefixes: dict[str, str]) -> tuple[DataFrame, set[str]]:
     plan: DataFrame | None = None
     bound: set[str] = set()
     filters: list[list[str]] = []
     exists: list[tuple[bool, _Group]] = []
-    for idx, el in enumerate(group.elements):
+    for idx, el in enumerate(_reorder_group(group.elements)):
         if isinstance(el, _Pattern):
             scan, vars_ = _compile_pattern(triples, el, prefixes, idx)
             how = "inner"
