@@ -680,6 +680,36 @@ def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH patterns over a quads dataset (graph = capture url): bind the
+    graph term, scope a 2-pattern BGP to it, count triples per graph —
+    exercises dataset semantics (top-level patterns would see only the
+    default graph) + per-graph join + aggregate."""
+    from trident_spark.query.sparql import query
+
+    quads = _doc_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
+        "obj_lang", F.col("url").alias("graph"),
+    )
+    return query(
+        quads,
+        f"""
+        SELECT ?g ?lang (COUNT(?s) AS ?n) WHERE {{
+            GRAPH ?g {{
+                ?s <{SCHEMA}provider> ?org .
+                ?s <{SCHEMA}inLanguage> ?lang .
+            }}
+        }} GROUP BY ?g ?lang
+        """,
+    )
+
+
+_KG_SPARQL_GRAPH_ORACLE = f"""
+SELECT '{DOC_BASE}/doc/' || doc_id AS g, lang, CAST(1 AS BIGINT) AS n
+FROM documents
+"""
+
+
 def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named graphs: serialize doc triples as N-Quads with the capture url
     as the graph term, parse back, return distinct quads.  Oracle is the
@@ -1350,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_rdfstar_reify": q_kg_rdfstar_reify,
         "kg_sparql_star": q_kg_sparql_star,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1442,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_construct": _KG_SPARQL_CONSTRUCT_ORACLE,
         "kg_rdfstar_reify": _KG_RDFSTAR_ORACLE,
         "kg_sparql_star": _KG_SPARQL_STAR_ORACLE,
+        "kg_sparql_graph": _KG_SPARQL_GRAPH_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

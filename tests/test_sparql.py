@@ -677,3 +677,85 @@ def test_genuinely_disconnected_patterns_still_cross(spark, graph):
         }
     """)
     assert df.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# GRAPH patterns (named graphs over a quads frame)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    qcols = COLS + ", graph string"
+    rows = [
+        # default graph: type assertions
+        ("http://x/alice", RDF_TYPE, SCHEMA + "Person", "iri", None, None,
+         None),
+        ("http://x/bob", RDF_TYPE, SCHEMA + "Person", "iri", None, None,
+         None),
+        # named graph g1: alice's facts
+        ("http://x/alice", SCHEMA + "name", "Alice", "literal", None, None,
+         "http://g/1"),
+        ("http://x/alice", SCHEMA + "worksFor", "http://x/acme", "iri",
+         None, None, "http://g/1"),
+        # named graph g2: bob's facts
+        ("http://x/bob", SCHEMA + "name", "Bob", "literal", None, None,
+         "http://g/2"),
+    ]
+    return spark.createDataFrame(rows, qcols).cache()
+
+
+def test_graph_variable_binds_and_joins(spark, quads):
+    df = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?g ?n WHERE {
+            ?p a schema:Person .
+            GRAPH ?g { ?p schema:name ?n }
+        }
+    """)
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("http://g/1", "Alice"), ("http://g/2", "Bob")]
+
+
+def test_graph_constant_scopes_patterns(spark, quads):
+    df = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE { GRAPH <http://g/1> { ?p schema:name ?n } }
+    """)
+    assert [r["n"] for r in df.collect()] == ["Alice"]
+
+
+def test_top_level_patterns_match_default_graph_only(spark, quads):
+    # schema:name lives only in named graphs → no default-graph match
+    df = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE { ?p schema:name ?n }
+    """)
+    assert df.count() == 0
+
+
+def test_graph_same_var_requires_same_graph(spark, quads):
+    # name and worksFor co-occur only in g1
+    df = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?g ?p WHERE {
+            GRAPH ?g { ?p schema:name ?n . ?p schema:worksFor ?o }
+        }
+    """)
+    assert [tuple(r) for r in df.collect()] == [
+        ("http://g/1", "http://x/alice")]
+
+
+def test_graph_requires_quads(spark, graph):
+    with pytest.raises(SparqlError, match="quads"):
+        query(graph, """
+            SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }
+        """)
+
+
+def test_graph_var_path_closure_rejected(spark, quads):
+    with pytest.raises(SparqlError, match="paths inside GRAPH"):
+        query(quads, """
+            PREFIX schema: <https://schema.org/>
+            SELECT ?g WHERE { GRAPH ?g { ?a schema:worksFor+ ?b } }
+        """)

@@ -36,8 +36,10 @@ compatibility — this also makes MINUS exact only when the shared variables
 are bound on both sides, the overwhelmingly common case); VALUES rows must
 be fully bound (UNDEF raises); SUM/AVG cast the lexical form to double;
 HAVING aggregate expressions must repeat an aggregate already named in the
-SELECT clause; no named graphs / GRAPH patterns (quads live one level up,
-in pipeline/sinks.py) and no federation.
+SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
+top-level patterns then match the default graph per SPARQL dataset
+semantics) and property-path closures inside ``GRAPH ?var`` are rejected;
+no federation.
 
 The WHERE block is tokenized by a scanner that respects ``<>``-delimited
 IRIs and quoted literals, so statement splitting and filter rewriting can
@@ -164,7 +166,7 @@ class _Group:
 
 def _is_term(tok: str) -> bool:
     return bool(tok) and tok not in "{}.;,()" and tok.upper() not in (
-        "FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES", "BIND",
+        "FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES", "BIND", "GRAPH",
     )
 
 
@@ -282,6 +284,15 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
         elif up == "VALUES":
             el, i = _parse_values(toks, i + 1)
             g.elements.append(el)
+        elif up == "GRAPH":
+            if i + 2 >= len(toks) or toks[i + 2] != "{":
+                raise SparqlError("GRAPH requires a term and a group")
+            term = toks[i + 1]
+            if not (term.startswith("?") or _is_term(term)) \
+                    or term.startswith('"'):
+                raise SparqlError(f"invalid GRAPH term {term!r}")
+            sub, i = _parse_group(toks, i + 3)
+            g.elements.append(("graph", term, sub))
         elif up == "BIND":
             # BIND ( expr AS ?v )
             if i + 1 >= len(toks) or toks[i + 1] != "(":
@@ -534,7 +545,8 @@ def _escape_nt(s: str) -> str:
 
 
 def _compile_quoted(triples: DataFrame, pat: _Pattern,
-                    prefixes: dict[str, str], idx: int
+                    prefixes: dict[str, str], idx: int,
+                    extra: dict[str, str] | None = None
                     ) -> tuple[DataFrame, set[str]]:
     """Pattern with a quoted-triple object: filter obj_kind='triple' rows
     and match/bind the embedded components (SPARQL 1.2 triple-term
@@ -581,7 +593,10 @@ def _compile_quoted(triples: DataFrame, pat: _Pattern,
         else:
             scan = scan.where(expr == _expand(term, prefixes))
 
-    cols = dict(subj=F.col("subj"), pred=F.col("pred"), **proj_cols)
+    if extra:
+        rename.update(extra)
+    cols = dict(subj=F.col("subj"), pred=F.col("pred"),
+                graph=F.col("graph") if extra else F.lit(None), **proj_cols)
     proj = [cols[c].alias(v) for c, v in rename.items()]
     if proj:
         scan = scan.select(*proj).distinct()
@@ -591,10 +606,16 @@ def _compile_quoted(triples: DataFrame, pat: _Pattern,
 
 
 def _compile_pattern(triples: DataFrame, pat: _Pattern,
-                     prefixes: dict[str, str], idx: int) -> tuple[DataFrame, set[str]]:
+                     prefixes: dict[str, str], idx: int,
+                     extra: dict[str, str] | None = None
+                     ) -> tuple[DataFrame, set[str]]:
     if isinstance(pat.obj, _Quoted):
-        return _compile_quoted(triples, pat, prefixes, idx)
+        return _compile_quoted(triples, pat, prefixes, idx, extra)
     if isinstance(pat.pred, tuple):
+        if extra:
+            # a closure's endpoint pairs have no single home graph
+            raise SparqlError(
+                "property paths inside GRAPH ?var are not supported")
         pairs = _compile_path(triples, pat.pred, prefixes)
         rename: dict[str, str] = {}
         scan = pairs
@@ -632,6 +653,8 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
             if col == "obj_lexical":
                 scan = scan.where(F.col("obj_kind") == "iri")
             scan = scan.where(F.col(col) == value)
+    if extra:
+        rename.update(extra)  # GRAPH ?var: carry the graph term binding
     proj = [F.col(c).alias(v) for c, v in rename.items()]
     if proj:
         # RDF graphs are sets: duplicate captures of the same triple must
@@ -724,14 +747,17 @@ def _reorder_group(elements: list) -> list:
 
 
 def _compile_group(triples: DataFrame, group: _Group,
-                   prefixes: dict[str, str]) -> tuple[DataFrame, set[str]]:
+                   prefixes: dict[str, str],
+                   quads: DataFrame | None = None,
+                   extra: dict[str, str] | None = None
+                   ) -> tuple[DataFrame, set[str]]:
     plan: DataFrame | None = None
     bound: set[str] = set()
     filters: list[list[str]] = []
     exists: list[tuple[bool, _Group]] = []
     for idx, el in enumerate(_reorder_group(group.elements)):
         if isinstance(el, _Pattern):
-            scan, vars_ = _compile_pattern(triples, el, prefixes, idx)
+            scan, vars_ = _compile_pattern(triples, el, prefixes, idx, extra)
             how = "inner"
         elif el[0] == "filter":
             filters.append(el[1])
@@ -739,6 +765,25 @@ def _compile_group(triples: DataFrame, group: _Group,
         elif el[0] == "exists":
             exists.append((el[1], el[2]))
             continue
+        elif el[0] == "graph":
+            # GRAPH term { sub }: scope the subgroup's pattern scans to the
+            # named graphs — constant: one equi-filter; variable: bind the
+            # graph column alongside each pattern's variables
+            if quads is None:
+                raise SparqlError(
+                    "GRAPH requires a quads input (a 'graph' column)")
+            term, sub = el[1], el[2]
+            if term.startswith("?"):
+                frame = quads.where(F.col("graph").isNotNull())
+                sub_extra = {**(extra or {}), "graph": term[1:]}
+                scan, vars_ = _compile_group(frame, sub, prefixes, quads,
+                                             sub_extra)
+            else:
+                frame = quads.where(
+                    F.col("graph") == _expand(term, prefixes))
+                scan, vars_ = _compile_group(frame, sub, prefixes, quads,
+                                             extra)
+            how = "inner"
         elif el[0] == "bind":
             # BIND applies to the solutions built so far, in sequence
             if plan is None:
@@ -757,7 +802,7 @@ def _compile_group(triples: DataFrame, group: _Group,
             # requires a shared binding) → no-op.
             if plan is None:
                 raise SparqlError("MINUS cannot be the first group element")
-            right, rv = _compile_group(triples, el[1], prefixes)
+            right, rv = _compile_group(triples, el[1], prefixes, quads, extra)
             keys = sorted(bound & rv)
             if keys:
                 plan = plan.join(right.select(*keys).distinct(),
@@ -771,17 +816,20 @@ def _compile_group(triples: DataFrame, group: _Group,
                 data, ", ".join(f"`{v}` string" for v in vars_))
             vars_, how = set(vars_), "inner"
         elif el[0] == "subselect":
-            scan, out_cols = _compile_select(triples, el[1], prefixes)
+            scan, out_cols = _compile_select(triples, el[1], prefixes, quads)
             vars_, how = set(out_cols), "inner"
         elif el[0] == "optional":
-            scan, vars_ = _compile_group(triples, el[1], prefixes)
+            scan, vars_ = _compile_group(triples, el[1], prefixes, quads,
+                                         extra)
             how = "left"
         elif el[0] == "group":
-            scan, vars_ = _compile_group(triples, el[1], prefixes)
+            scan, vars_ = _compile_group(triples, el[1], prefixes, quads,
+                                         extra)
             how = "inner"
         elif el[0] == "union":
-            left, lv = _compile_group(triples, el[1], prefixes)
-            right, rv = _compile_group(triples, el[2], prefixes)
+            left, lv = _compile_group(triples, el[1], prefixes, quads, extra)
+            right, rv = _compile_group(triples, el[2], prefixes, quads,
+                                       extra)
             scan = left.unionByName(right, allowMissingColumns=True)
             vars_, how = lv | rv, "inner"
         else:  # pragma: no cover
@@ -801,7 +849,8 @@ def _compile_group(triples: DataFrame, group: _Group,
     # (the standard decorrelation; exact for the supported fragment, where
     # the inner group references the outer row only through shared vars)
     for positive, sub in exists:
-        sub_plan, sub_vars = _compile_group(triples, sub, prefixes)
+        sub_plan, sub_vars = _compile_group(triples, sub, prefixes, quads,
+                                            extra)
         keys = sorted(bound & sub_vars)
         how = "left_semi" if positive else "left_anti"
         if keys:
@@ -921,7 +970,9 @@ def _rewrite_having(toks: list[str], items: list[_SelectItem]) -> list[str]:
 
 
 def _compile_select(triples: DataFrame, toks: list[str],
-                    prefixes: dict[str, str]) -> tuple[DataFrame, list[str]]:
+                    prefixes: dict[str, str],
+                    quads: DataFrame | None = None
+                    ) -> tuple[DataFrame, list[str]]:
     """SELECT token list (``SELECT`` through trailing modifiers) →
     (projected plan, output column names).  Shared by ``query()`` and
     ``{ SELECT ... }`` subqueries."""
@@ -938,7 +989,7 @@ def _compile_select(triples: DataFrame, toks: list[str],
     group, i = _parse_group(toks, w + 2)
     tail = toks[i:]
 
-    plan, bound = _compile_group(triples, group, prefixes)
+    plan, bound = _compile_group(triples, group, prefixes, quads)
 
     # tail: GROUP BY ?v... | HAVING(expr) | ORDER BY [ASC|DESC] (?v)
     #     | LIMIT n | OFFSET n
@@ -1043,7 +1094,17 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
     """Run a SELECT or ASK query against lexical triples
     (subj, pred, obj_lexical, obj_kind, ...).  SELECT → one column per
     variable; ASK → a single-row DataFrame with one boolean ``ask`` column
-    (false via the empty-input aggregate when no solution exists)."""
+    (false via the empty-input aggregate when no solution exists).
+
+    If the frame carries a ``graph`` column (quads, e.g. from
+    ``sinks.from_nquads``), SPARQL dataset semantics apply: top-level
+    patterns match the default graph (``graph IS NULL``) and ``GRAPH``
+    patterns match the named graphs."""
+    if "graph" in triples.columns:
+        quads: DataFrame | None = triples
+        triples = triples.where(F.col("graph").isNull())
+    else:
+        quads = None
     toks, prefixes = _prep(sparql)
     if toks and toks[0].upper() == "ASK":
         if len(toks) < 2:
@@ -1056,13 +1117,13 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
         group, j = _parse_group(toks, i + 1)
         if toks[j:]:
             raise SparqlError(f"unexpected token after ASK group: {toks[j]!r}")
-        plan, _ = _compile_group(triples, group, prefixes)
+        plan, _ = _compile_group(triples, group, prefixes, quads)
         return plan.limit(1).agg(
             (F.count(F.lit(1)) > F.lit(0)).alias("ask"))
     if not toks or toks[0].upper() != "SELECT":
         raise SparqlError("only SELECT / ASK queries are supported here "
                           "(use construct() for CONSTRUCT)")
-    plan, _ = _compile_select(triples, toks, prefixes)
+    plan, _ = _compile_select(triples, toks, prefixes, quads)
     return plan
 
 
