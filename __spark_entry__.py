@@ -710,6 +710,35 @@ FROM documents
 """
 
 
+def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE query form: forward description (all triples whose subject
+    is a described resource) of the orgs whose name starts with 'src1'."""
+    from trident_spark.query.sparql import describe
+
+    return describe(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        DESCRIBE ?org WHERE {
+            ?org schema:name ?n .
+            FILTER(STRSTARTS(?n, "src1"))
+        }
+        """,
+    )
+
+
+_KG_SPARQL_DESCRIBE_ORACLE = f"""
+WITH orgs AS (
+  SELECT DISTINCT '{DOC_BASE}/org/' || source AS org, source
+  FROM documents WHERE source LIKE 'src1%'
+)
+SELECT org AS subj, '{RDF_TYPE}' AS pred,
+       '{SCHEMA}Organization' AS obj_lexical, 'iri' AS obj_kind FROM orgs
+UNION ALL
+SELECT org, '{SCHEMA}name', source, 'literal' FROM orgs
+"""
+
+
 def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named graphs: serialize doc triples as N-Quads with the capture url
     as the graph term, parse back, return distinct quads.  Oracle is the
@@ -1381,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfstar_reify": q_kg_rdfstar_reify,
         "kg_sparql_star": q_kg_sparql_star,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_sparql_describe": q_kg_sparql_describe,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1474,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfstar_reify": _KG_RDFSTAR_ORACLE,
         "kg_sparql_star": _KG_SPARQL_STAR_ORACLE,
         "kg_sparql_graph": _KG_SPARQL_GRAPH_ORACLE,
+        "kg_sparql_describe": _KG_SPARQL_DESCRIBE_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

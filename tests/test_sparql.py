@@ -759,3 +759,46 @@ def test_graph_var_path_closure_rejected(spark, quads):
             PREFIX schema: <https://schema.org/>
             SELECT ?g WHERE { GRAPH ?g { ?a schema:worksFor+ ?b } }
         """)
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE query form
+# ---------------------------------------------------------------------------
+
+
+def test_describe_constant_iri(spark, graph):
+    from trident_spark.query.sparql import describe
+
+    out = describe(graph, "DESCRIBE <http://x/acme>")
+    got = {(r["pred"], r["obj_lexical"]) for r in out.collect()}
+    assert got == {(RDF_TYPE, SCHEMA + "Organization"),
+                   (SCHEMA + "name", "Acme")}
+
+
+def test_describe_variable_with_where(spark, graph):
+    from trident_spark.query.sparql import describe
+
+    out = describe(graph, """
+        PREFIX schema: <https://schema.org/>
+        DESCRIBE ?o WHERE { ?p schema:worksFor ?o . ?p schema:name "Alice" }
+    """)
+    got = {(r["subj"], r["pred"], r["obj_lexical"]) for r in out.collect()}
+    assert got == {
+        ("http://x/acme", RDF_TYPE, SCHEMA + "Organization"),
+        ("http://x/acme", SCHEMA + "name", "Acme"),
+    }
+
+
+def test_describe_mixed_and_errors(spark, graph):
+    from trident_spark.query.sparql import describe
+
+    out = describe(graph, """
+        PREFIX schema: <https://schema.org/>
+        DESCRIBE <http://x/globex> ?p WHERE { ?p schema:name "Alice" }
+    """)
+    subjects = {r["subj"] for r in out.collect()}
+    assert subjects == {"http://x/globex", "http://x/alice"}
+    with pytest.raises(SparqlError, match="WHERE"):
+        describe(graph, "DESCRIBE ?x")
+    with pytest.raises(SparqlError, match="at least one"):
+        describe(graph, "DESCRIBE WHERE { ?s ?p ?o }")

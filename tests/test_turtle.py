@@ -119,3 +119,60 @@ def test_nquads_roundtrip_with_blank_and_default_graph(spark):
     back = from_nquads(to_nquads(df, graph_col="graph"))
     got = {tuple(r) for r in back.collect()}
     assert got == {tuple(r) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# RDF 1.2 triple terms in Turtle (object position)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_triple_term_object():
+    from trident_spark.pipeline.turtle import parse_turtle
+
+    out = parse_turtle("""
+        @prefix p: <http://p/> .
+        _:r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+            <<( <http://x/d1> p:provider <http://x/org1> )>> .
+        _:r p:source "src1" .
+    """)
+    assert ("_:r", "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies",
+            "<<( <http://x/d1> <http://p/provider> <http://x/org1> )>>",
+            "triple", None, None) in out
+    assert ("_:r", "http://p/source", "src1", "literal", None, None) in out
+
+
+def test_parse_nested_triple_term():
+    from trident_spark.pipeline.turtle import parse_turtle
+
+    out = parse_turtle(
+        '<http://m/1> <http://p/q> '
+        '<<( _:r <http://p/r> <<( <http://a> <http://b> "x\\n" )>> )>> .'
+    )
+    assert out == [(
+        "http://m/1", "http://p/q",
+        '<<( _:r <http://p/r> <<( <http://a> <http://b> "x\\n" )>> )>>',
+        "triple", None, None)]
+
+
+def test_turtle_roundtrip_with_reified_frame(spark):
+    from pyspark.sql import functions as F
+
+    from trident_spark.pipeline import rdfstar, sinks
+    from trident_spark.pipeline.turtle import from_turtle
+
+    cols = ("subj string, pred string, obj_lexical string, obj_kind string, "
+            "obj_datatype string, obj_lang string, src string")
+    g = spark.createDataFrame(
+        [("http://x/d1", "http://p/provider", "http://x/org1", "iri",
+          None, None, "src1"),
+         ("http://x/d2", "http://p/title", 'He said "hi"', "literal",
+          None, None, "src2")], cols)
+    re1 = rdfstar.reify(g, "http://p/source", "src")
+    blocks = sinks.to_turtle(re1)
+    header = sinks.turtle_header()
+    docs = blocks.select(
+        F.concat(F.lit(header + "\n"), F.col("block")).alias("doc"))
+    back = from_turtle(docs)
+    orig = {tuple(r) for r in re1.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert orig == got

@@ -13,9 +13,13 @@ ingested.  Supported surface (a practical Turtle subset):
 - blank node labels ``_:b1``
 - bare integers/decimals/booleans (typed per Turtle spec)
 - ``#`` comments (outside IRIs and strings)
+- RDF 1.2 triple terms ``<<( s p o )>>`` in object position (parsed to the
+  pipeline's canonical ``obj_kind='triple'`` representation, nesting
+  included — the inverse of what ``to_turtle`` renders for reified frames)
 
 Not supported (raises TurtleError, never silently drops): blank node
-property lists ``[...]``, collections ``(...)``, triple-quoted strings.
+property lists ``[...]``, collections ``(...)``, triple-quoted strings,
+and the ``<< s p o >>`` reifier sugar (use pipeline/rdfstar.reify).
 
 Distribution model: one Turtle *document* per DataFrame row (Turtle is not
 line-oriented — a subject block spans lines, and prefixes scope the whole
@@ -41,7 +45,8 @@ class TurtleError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"""
-      <[^>]*>                                           # IRI
+      <<\( | \)>>                                       # RDF 1.2 triple term
+    | <[^>]*>                                           # IRI
     | "(?:[^"\\]|\\.)*"                                 # string literal
     | @[A-Za-z][A-Za-z0-9\-]*                           # @prefix/@base/@lang
     | \^\^                                              # datatype marker
@@ -140,8 +145,44 @@ class _Parser:
             return self._pname(tok)
         raise TurtleError(f"invalid predicate {tok!r}")
 
+    def _render_canonical(self, lex: str, kind: str, dt: str | None,
+                          lang: str | None) -> str:
+        """Parsed term → its canonical N-Triples 1.2 rendering (the form
+        pipeline/rdfstar.py stores and sinks.py emits)."""
+        from trident_spark.kernels import iri as K
+
+        def iri(v: str) -> str:
+            return "<" + (v if v.isascii() else K.iri_to_uri(v)) + ">"
+
+        if kind == "iri":
+            return iri(lex)
+        if kind in ("blank", "triple"):
+            return lex
+        s = lex
+        for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+            s = s.replace(a, b)
+        s = '"' + s + '"'
+        if lang:
+            return s + "@" + lang
+        if dt:
+            return s + "^^" + iri(dt)
+        return s
+
     def _object(self, tok: str) -> tuple[str, str, str | None, str | None]:
         """→ (lexical, kind, datatype, lang)."""
+        if tok == "<<(":
+            # RDF 1.2 triple term: parse components, store canonically
+            s = self._subject(self._next())
+            p = self._predicate(self._next())
+            o = self._object(self._next())
+            self._expect(")>>")
+            s_r = s if s.startswith("_:") else self._render_canonical(
+                s, "iri", None, None)
+            lex = (f"<<( {s_r} "
+                   f"{self._render_canonical(p, 'iri', None, None)} "
+                   f"{self._render_canonical(*o)} )>>")
+            return lex, "triple", None, None
         if tok.startswith("<"):
             return self._iri(tok), "iri", None, None
         if tok.startswith("_:"):

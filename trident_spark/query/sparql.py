@@ -1132,6 +1132,65 @@ def ask(triples: DataFrame, sparql: str) -> bool:
     return bool(query(triples, sparql).head()["ask"])
 
 
+def describe(triples: DataFrame, sparql: str) -> DataFrame:
+    """DESCRIBE query form → the subgraph about the named resources
+    (subj, pred, obj_lexical, obj_kind).
+
+    Per SPARQL 1.1 §16.4 the result shape is implementation-defined; this
+    engine returns every triple whose SUBJECT is a described resource (the
+    common "forward description" choice, no CBD blank-node chasing).
+    Forms: ``DESCRIBE <iri> [<iri> ...]`` and ``DESCRIBE ?v WHERE { ... }``
+    (resources = the distinct bindings of each described variable)."""
+    if "graph" in triples.columns:
+        quads: DataFrame | None = triples
+        triples = triples.where(F.col("graph").isNull())
+    else:
+        quads = None
+    toks, prefixes = _prep(sparql)
+    if not toks or toks[0].upper() != "DESCRIBE":
+        raise SparqlError("expected DESCRIBE")
+    i = 1
+    terms: list[str] = []
+    while i < len(toks) and (toks[i].startswith("?") or _is_term(toks[i])) \
+            and toks[i].upper() != "WHERE":
+        terms.append(toks[i])
+        i += 1
+    if not terms:
+        raise SparqlError("DESCRIBE requires at least one resource or "
+                          "variable")
+    vars_ = [t[1:] for t in terms if t.startswith("?")]
+    iris = [_expand(t, prefixes) for t in terms if not t.startswith("?")]
+
+    resources: DataFrame | None = None
+    if iris:
+        resources = triples.sparkSession.createDataFrame(
+            [(x,) for x in iris], "`_res` string")
+    if toks[i:]:
+        if toks[i].upper() != "WHERE" or i + 1 >= len(toks) \
+                or toks[i + 1] != "{":
+            raise SparqlError("DESCRIBE tail must be WHERE { ... }")
+        group, j = _parse_group(toks, i + 2)
+        if toks[j:]:
+            raise SparqlError(
+                f"unexpected token after DESCRIBE group: {toks[j]!r}")
+        plan, bound = _compile_group(triples, group, prefixes, quads)
+        missing = [v for v in vars_ if v not in bound]
+        if missing:
+            raise SparqlError(f"unbound DESCRIBE variables: {missing}")
+        for v in vars_:
+            res = plan.select(F.col(v).alias("_res")).distinct()
+            resources = res if resources is None else resources.union(res)
+    elif vars_:
+        raise SparqlError("DESCRIBE ?var requires a WHERE group")
+
+    return (
+        triples.join(resources.distinct(),
+                     triples["subj"] == F.col("_res"), "left_semi")
+        .select("subj", "pred", "obj_lexical", "obj_kind")
+        .distinct()
+    )
+
+
 def construct(triples: DataFrame, sparql: str) -> DataFrame:
     """CONSTRUCT { template } WHERE { ... } → a lexical-triples DataFrame
     (subj, pred, obj_lexical, obj_kind).
