@@ -853,6 +853,66 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: LSH pairs → connected components →
+    canonical representative per cluster.  Oracle: recursive-CTE transitive
+    closure over the exact-Jaccard pairs with min-reachable-id labels."""
+    from trident_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_read(spark, sf_dir, "documents"))
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sym AS (
+  SELECT a AS u, b AS v FROM ({_NGRAM_JACCARD_ORACLE}) p
+  UNION
+  SELECT b, a FROM ({_NGRAM_JACCARD_ORACLE}) p
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       (id = MIN(r)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 10% sample — the same rows on every engine and re-run
+    (df.sample() can't promise either)."""
+    from trident_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _read(spark, sf_dir, "documents"), "doc_id", 10
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_DET_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rates (en 50%, rest 10%) — the corpus
+    up/down-mix step."""
+    from trident_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), "doc_id", "lang", {"en": 50},
+        default_pct=10,
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_STRAT_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pigeonhole block-join candidates + popcount verify: exact by
     construction (any pair within Hamming k shares one of k+1 blocks), so
@@ -1421,6 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         "dedup_simhash": q_dedup_simhash,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1515,6 +1578,9 @@ def oracle_sql() -> dict[str, str]:
         # minhash-LSH candidates are exact-Jaccard-verified and recall is 1.0
         # on this corpus, so the exact pairwise oracle is the right check
         "dedup_minhash_lsh": f"SELECT a, b FROM ({_NGRAM_JACCARD_ORACLE}) pairs",
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "sample_deterministic": _SAMPLE_DET_ORACLE,
+        "sample_stratified": _SAMPLE_STRAT_ORACLE,
         "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
         "similarity_ann_lsh": _ann_lsh_oracle(),
         # similarity_ann_ivf stays rows-only: this corpus is unclustered, so

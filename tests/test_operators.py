@@ -35,6 +35,11 @@ def _mk_docs(spark, n=60, seed=3):
 
 
 @pytest.fixture(scope="module")
+def docs_sf0001(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
 def docs(spark):
     return _mk_docs(spark).cache()
 
@@ -260,3 +265,87 @@ def test_embedding_near_dup_lsh_recall_vs_exact(spark, embeddings):
         embeddings, threshold=0.8, use_lsh=True, n_bits=6, dim=16).collect()}
     assert lsh <= exact  # exact rescore kills false positives
     assert exact and len(lsh & exact) / len(exact) >= 0.7
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: pairs → components → canonical (round-2)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C near-dups (A~C below threshold is fine) must land in ONE
+    cluster with exactly one canonical doc."""
+    from trident_spark.operators.dedup import dedup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight").split()
+    mk = lambda words: " ".join(words)  # noqa: E731
+    a = mk(base)
+    b = mk(base[:-2] + ["near", "copy"])          # high overlap with a
+    c = mk(base[:-4] + ["near", "copy", "two", "more"])  # overlaps b more
+    rows = [(1, a), (2, b), (3, c), (10, "utterly unrelated text about "
+            "spark catalyst optimizer internals and shuffle partitions")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, threshold=0.3).collect()}
+    assert out[1] == (1, True)
+    assert out[2][0] == 1 and out[2][1] is False
+    assert out[3][0] == 1 and out[3][1] is False
+    assert out[10] == (10, True)  # singleton keeps itself
+
+
+def test_dedup_clusters_partitioning_independent(spark, docs_sf0001):
+    from trident_spark.operators.dedup import dedup_clusters
+
+    a = {tuple(r) for r in dedup_clusters(docs_sf0001).collect()}
+    b = {tuple(r) for r in
+         dedup_clusters(docs_sf0001.repartition(13)).collect()}
+    assert a == b
+    # every cluster has exactly one canonical member
+    import collections
+    per = collections.Counter()
+    for doc_id, cluster, canon in a:
+        per[cluster] += bool(canon)
+    assert all(v == 1 for v in per.values())
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (round-2)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_and_partitioning(spark, docs_sf0001):
+    from trident_spark.operators.sampling import deterministic_sample
+
+    s1 = {r["doc_id"] for r in
+          deterministic_sample(docs_sf0001, "doc_id", 10).collect()}
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(docs_sf0001.repartition(17), "doc_id",
+                               10).collect()}
+    assert s1 == s2 and s1  # identical subset, non-empty
+    n = docs_sf0001.count()
+    assert 0.03 * n < len(s1) < 0.25 * n  # ~10%, generous band
+
+
+def test_deterministic_sample_complements_partition(spark, docs_sf0001):
+    from pyspark.sql import functions as F
+
+    from trident_spark.operators.sampling import hash_bucket
+
+    low = {r["doc_id"] for r in docs_sf0001.where(
+        hash_bucket("doc_id") < 10).collect()}
+    high = {r["doc_id"] for r in docs_sf0001.where(
+        (hash_bucket("doc_id") >= 10) & (hash_bucket("doc_id") < 100)
+    ).collect()}
+    assert low.isdisjoint(high)
+    assert len(low) + len(high) == docs_sf0001.count()
+
+
+def test_stratified_sample_rates(spark, docs_sf0001):
+    from trident_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(docs_sf0001, "doc_id", "lang", {"en": 100},
+                            default_pct=0)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == docs_sf0001.where("lang = 'en'").count()
