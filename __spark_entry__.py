@@ -913,6 +913,44 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
 """
 
 
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams (count desc, gram asc — total order, so
+    the rank boundary is engine-stable)."""
+    from trident_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=20)
+
+
+_TOP_NGRAMS_ORACLE = r"""
+WITH d AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT unnest([toks[i] || ' ' || toks[i+1]
+                 for i in range(1, len(toks))]) AS gram
+  FROM d
+)
+SELECT gram, COUNT(*) AS cnt FROM g
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroids in long form (grp, dim, c)."""
+    from trident_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(_read(spark, sf_dir, "embeddings"))
+
+
+_EMB_CENTROIDS_ORACLE = """
+SELECT label AS grp, (idx - 1)::INT AS dim, ROUND(AVG(CAST(v AS DOUBLE)), 4) AS c
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings)
+GROUP BY label, idx
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pigeonhole block-join candidates + popcount verify: exact by
     construction (any pair within Hamming k shares one of k+1 blocks), so
@@ -1484,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "text_top_ngrams": q_text_top_ngrams,
+        "embedding_centroids": q_embedding_centroids,
         "dedup_simhash": q_dedup_simhash,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1581,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "sample_deterministic": _SAMPLE_DET_ORACLE,
         "sample_stratified": _SAMPLE_STRAT_ORACLE,
+        "text_top_ngrams": _TOP_NGRAMS_ORACLE,
+        "embedding_centroids": _EMB_CENTROIDS_ORACLE,
         "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
         "similarity_ann_lsh": _ann_lsh_oracle(),
         # similarity_ann_ivf stays rows-only: this corpus is unclustered, so

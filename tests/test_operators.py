@@ -349,3 +349,25 @@ def test_stratified_sample_rates(spark, docs_sf0001):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == docs_sf0001.where("lang = 'en'").count()
+
+
+def test_top_ngrams_counts_and_short_doc_guard(spark):
+    from trident_spark.operators.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string")
+    got = [(r["gram"], r["cnt"]) for r in top_ngrams(docs, n=2, k=3).collect()]
+    # "a b": doc1 x2 + doc2 x1 = 3; "b a", "b c": 1 each; "solo" yields none
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_embedding_centroids_exact_small(spark):
+    from trident_spark.operators.similarity import embedding_centroids
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    got = {(r["grp"], r["dim"]): r["c"]
+           for r in embedding_centroids(embs).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 0.0}

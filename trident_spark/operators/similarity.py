@@ -314,3 +314,21 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .select("a", "b", "cosine")
         .dropDuplicates(["a", "b"])
     )
+
+
+def embedding_centroids(embs: DataFrame, group_col: str = "label",
+                        vec_col: str = "embedding",
+                        decimals: int = 4) -> DataFrame:
+    """Per-group element-wise centroid → long form (group, dim, c).
+
+    posexplode + two-phase hash aggregate: the map-side partial combine on
+    (group, dim) reduces the exploded n×dim rows before the shuffle, so
+    wide vectors don't multiply shuffle volume by n.  Values are rounded
+    (float-sum order drift; CLAUDE.md rule 7) — round on BOTH sides of any
+    cross-engine comparison."""
+    return (
+        embs.select(F.col(group_col).alias("grp"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .groupBy("grp", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("c"))
+    )

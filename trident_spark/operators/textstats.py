@@ -203,3 +203,28 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     return ensure_parallelism(docs).select(
         id_col, _lang_id_udf(F.col(text_col)).alias("predicted_lang")
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams → (gram, cnt), deterministically
+    ordered (count desc, gram asc — a total order, so the rank-k boundary
+    is engine-stable).  Explode → partial-aggregated count (map-side
+    combine) → TakeOrderedAndProject: no global sort materializes."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        # guard: sequence(1, 0) counts DOWN in Spark — short docs must
+        # yield an empty gram array, not a slice-at-0 error
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )
