@@ -1445,30 +1445,56 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "kind",
-        F.size("feature").alias("n_dims"),
-        feature_digest(F.col("feature")).alias("feature_digest"),
+        F.coalesce(F.size("feature"), F.lit(-1)).alias("n_dims"),
+        F.coalesce(feature_digest(F.col("feature")), F.lit(""))
+        .alias("feature_digest"),
         F.coalesce("decode_error", F.lit("")).alias("decode_error"),
     )
 
 
 def _multimodal_expected_rows(n: int = 60, seed: int = 42,
                               feature_dim: int = 8) -> list[tuple]:
-    """Independent pure-Python recomputation of the synthetic media features
-    (payload gen → blake2b pseudo-decode → float32 md5), NOT imported from
-    the operator module — this is the oracle."""
+    """Independent pure-Python recomputation of the media features — image
+    pixel stats over the PPM pixels, audio RMS/ZCR/FFT bands over the PCM
+    samples, video = the decode-error path.  The math is re-derived here,
+    NOT imported from the operator module — this is the oracle."""
     import hashlib
 
     import numpy as np
+
+    def md5_of(feats: np.ndarray) -> str:
+        out = np.zeros(feature_dim, dtype=np.float64)
+        out[: min(feature_dim, len(feats))] = feats[:feature_dim]
+        return hashlib.md5(out.astype(np.float32).tobytes()).hexdigest()
 
     rows = []
     for i in range(n):
         rng = np.random.RandomState((seed << 16) ^ i)
         kind = ("image", "audio", "video")[i % 3]
-        payload = rng.bytes(256 + (i % 512))
-        digest = hashlib.blake2b(payload, digest_size=32).digest()
-        vec = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
-        md5 = hashlib.md5(vec[:feature_dim].astype(np.float32).tobytes()).hexdigest()
-        rows.append((i, kind, feature_dim, md5, ""))
+        if kind == "image":
+            w, h = 8 + i % 8, 6 + i % 6
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8).astype(
+                np.float64)
+            feats = np.array([
+                h, w, px[:, :, 0].mean(), px[:, :, 1].mean(),
+                px[:, :, 2].mean(), px.std(), px.min(), px.max(),
+            ])
+            rows.append((i, kind, feature_dim, md5_of(feats), ""))
+        elif kind == "audio":
+            rate = 8000
+            n_samp = 800 + (i % 5) * 200
+            t = np.arange(n_samp) / rate
+            freq = 200.0 + 50.0 * (i % 10)
+            x = (np.sin(2 * np.pi * freq * t) * 12000).astype(
+                np.int16).astype(np.float64) / 32768.0
+            zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
+            spec = np.abs(np.fft.rfft(x))
+            bands = [float(b.mean()) for b in np.array_split(spec, 4)]
+            feats = np.array([len(x), rate,
+                              float(np.sqrt(np.mean(x * x))), zcr, *bands])
+            rows.append((i, kind, feature_dim, md5_of(feats), ""))
+        else:
+            rows.append((i, kind, -1, "", "no video codec available"))
     return rows
 
 

@@ -230,14 +230,65 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.extract_features(media, feature_dim=16)
     rows = feats.collect()
     assert len(rows) == 30
-    assert all(r["decode_error"] is None for r in rows)
-    assert all(len(r["feature"]) == 16 for r in rows)
+    # image + audio decode for real; video has no codec -> error channel
+    for r in rows:
+        if r["kind"] in ("image", "audio"):
+            assert r["decode_error"] is None and len(r["feature"]) == 16, r
+        else:
+            assert r["feature"] is None and "codec" in r["decode_error"], r
     # deterministic across runs
     again = {r["media_id"]: r["feature"] for r in
              multimodal.extract_features(media, feature_dim=16).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats == {"image": 10, "audio": 10, "video": 10}
+
+
+def test_ppm_codec_roundtrip_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    with _pytest.raises(ValueError, match="not a P6"):
+        multimodal.decode_ppm(b"JFIF....")
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(multimodal.encode_ppm(px)[:-5])
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    t = np.arange(1600) / 8000.0
+    samp = (np.sin(2 * np.pi * 440.0 * t) * 10000).astype(np.int16)
+    back, rate = multimodal.decode_wav(multimodal.encode_wav(samp, 8000))
+    assert rate == 8000 and (back == samp).all()
+    feats = multimodal.audio_features(multimodal.encode_wav(samp, 8000), 8)
+    assert feats[0] == 1600 and feats[1] == 8000
+    assert 0.5 < feats[2] / (10000 / 32768 / np.sqrt(2)) < 1.5  # ~sine RMS
+
+
+def test_image_features_reflect_pixels():
+    import numpy as np
+
+    px = np.zeros((5, 7, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # red-dominant image
+    f = multimodal.image_features(multimodal.encode_ppm(px), 8)
+    assert f[0] == 5 and f[1] == 7
+    assert f[2] == 200.0 and f[3] == 0.0 and f[4] == 0.0
+
+
+def test_corrupt_payload_hits_error_channel(spark):
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        [(1, "image", b"P6 garbage", "image/x-portable-pixmap", 2, 2, None),
+         (2, "audio", b"not a wav", "audio/wav", None, None, 100)],
+        multimodal.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_features(media, 8).collect()}
+    assert rows[1]["feature"] is None and rows[1]["decode_error"]
+    assert rows[2]["feature"] is None and rows[2]["decode_error"]
 
 
 def test_ivf_topk_contains_true_neighbors(spark, embeddings):

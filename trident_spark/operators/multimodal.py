@@ -1,15 +1,26 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side machinery is real and tested — schemas, partition-friendly
-batching, mapInPandas signatures, deterministic fake feature extraction —
-while the actual codecs are stubbed (no image/audio libraries in this
-container).  Swap ``_decode_image_stub`` for PIL/torchvision decode on a
-real cluster; nothing else changes.
+Decode is REAL for the uncompressed formats this container can handle with
+numpy + stdlib alone: PPM (P6) images and PCM WAV audio (stdlib ``wave``).
+Compressed codecs (JPEG/OGG/MP4) need external libraries that are absent
+here, so video decode flows through the production error channel
+(``decode_error`` set, feature NULL) — the honest behavior for a missing
+codec, and exactly what a real pipeline does with corrupt/unsupported
+payloads.  Swap in PIL/torchaudio decoders on a real cluster; schemas,
+batching, and the error channel don't change.
+
+Scale design: decode + feature extraction is one Arrow hop per batch
+(mapInPandas); features are fixed-width float32 so downstream similarity
+ops (`operators/similarity.py`) consume them directly; metadata stats stay
+pure Catalyst.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import re
+import wave
 
 import numpy as np
 import pandas as pd
@@ -25,8 +36,71 @@ FEATURE_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Codecs: PPM (P6) and PCM WAV — real encode/decode, no external libs
+# ---------------------------------------------------------------------------
+
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8.  Raises ValueError on anything
+    that is not a P6 with maxval 255 (truncated payloads included)."""
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    body = payload[m.end():]
+    need = w * h * 3
+    if len(body) < need:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """mono int16 samples → PCM WAV bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    buf = io.BytesIO()
+    wv = wave.open(buf, "wb")
+    wv.setnchannels(1)
+    wv.setsampwidth(2)
+    wv.setframerate(rate)
+    wv.writeframes(samples.tobytes())
+    wv.close()
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (mono int16 samples, sample rate).  Raises
+    ``wave.Error``/ValueError on non-WAV payloads."""
+    wv = wave.open(io.BytesIO(payload), "rb")
+    if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+        raise ValueError("only mono 16-bit PCM supported")
+    rate = wv.getframerate()
+    frames = wv.readframes(wv.getnframes())
+    return np.frombuffer(frames, dtype=np.int16), rate
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media: REAL encoded payloads, deterministic per media_id
+# ---------------------------------------------------------------------------
+
+
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes, typed metadata."""
+    """Deterministic media table: images are real PPMs, audio real WAVs
+    (decodable below), video an opaque blob (no codec here — by design it
+    exercises the decode-error channel)."""
 
     def gen(iterator):
         for pdf in iterator:
@@ -35,53 +109,94 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 i = int(i)
                 rng = np.random.RandomState((seed << 16) ^ i)
                 kind = ("image", "audio", "video")[i % 3]
-                payload = rng.bytes(256 + (i % 512))
-                rows.append(
-                    {
-                        "media_id": i,
-                        "kind": kind,
-                        "payload": payload,
-                        "mime": {"image": "image/jpeg", "audio": "audio/ogg",
-                                 "video": "video/mp4"}[kind],
-                        "width": 640 if kind != "audio" else None,
-                        "height": 480 if kind != "audio" else None,
-                        "duration_ms": None if kind == "image" else 1000 + i,
-                    }
-                )
+                if kind == "image":
+                    w, h = 8 + i % 8, 6 + i % 6
+                    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                    payload, mime = encode_ppm(px), "image/x-portable-pixmap"
+                    width, height, dur = w, h, None
+                elif kind == "audio":
+                    rate = 8000
+                    n_samp = 800 + (i % 5) * 200
+                    t = np.arange(n_samp) / rate
+                    freq = 200.0 + 50.0 * (i % 10)
+                    samp = (np.sin(2 * np.pi * freq * t) * 12000).astype(
+                        np.int16)
+                    payload, mime = encode_wav(samp, rate), "audio/wav"
+                    width = height = None
+                    dur = int(n_samp * 1000 / rate)
+                else:
+                    payload, mime = rng.bytes(256 + (i % 512)), "video/mp4"
+                    width, height, dur = 640, 480, 1000 + i
+                rows.append({
+                    "media_id": i, "kind": kind, "payload": payload,
+                    "mime": mime, "width": width, "height": height,
+                    "duration_ms": dur,
+                })
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB: a real implementation decodes JPEG/PNG (PIL not available in
-    this container).  The deterministic fake hashes the payload into a
-    pseudo-pixel array so downstream shapes and determinism are testable."""
-    digest = hashlib.blake2b(payload, digest_size=32).digest()
-    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+# ---------------------------------------------------------------------------
+# Feature extraction: per-kind decode, fixed-width float32 vectors
+# ---------------------------------------------------------------------------
+
+
+def image_features(payload: bytes, dim: int) -> np.ndarray:
+    """PPM → [h, w, meanR, meanG, meanB, std, min, max], padded/cut to dim."""
+    px = decode_ppm(payload).astype(np.float64)
+    feats = np.array([
+        px.shape[0], px.shape[1],
+        px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+        px.std(), px.min(), px.max(),
+    ])
+    return _fit(feats, dim)
+
+
+def audio_features(payload: bytes, dim: int) -> np.ndarray:
+    """WAV → [n_samples, rate, rms, zero-crossing rate, 4 FFT band means]."""
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bands = [float(b.mean()) if len(b) else 0.0
+             for b in np.array_split(spec, 4)]
+    feats = np.array([len(x), rate, float(np.sqrt(np.mean(x * x))), zcr,
+                      *bands])
+    return _fit(feats, dim)
+
+
+def _fit(feats: np.ndarray, dim: int) -> np.ndarray:
+    out = np.zeros(dim, dtype=np.float64)
+    out[: min(dim, len(feats))] = feats[:dim]
+    return out.astype(np.float32)
 
 
 def extract_features(media: DataFrame, feature_dim: int = 32) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch in, typed features out.
-
-    Real per-kind decode paths would plug in here (image decode+resize,
-    audio frame sample, video keyframe extraction); the batch shape,
-    null-payload handling and error channel are production-real.
-    """
+    """mapInPandas feature extraction: one Arrow batch in, typed features +
+    error channel out.  Unsupported/corrupt payloads NEVER kill the job —
+    they surface as (feature NULL, decode_error set), the contract the
+    100 TB pipeline needs (a single bad blob must not fail a 10k-task
+    stage)."""
 
     def run(iterator):
         for pdf in iterator:
             feats, errs = [], []
-            for payload in pdf["payload"]:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     feats.append(None)
                     errs.append("empty payload")
                     continue
                 try:
-                    vec = _decode_image_stub(bytes(payload))[:feature_dim]
+                    if kind == "image":
+                        vec = image_features(bytes(payload), feature_dim)
+                    elif kind == "audio":
+                        vec = audio_features(bytes(payload), feature_dim)
+                    else:
+                        raise ValueError(f"no {kind} codec available")
                     feats.append(vec.tolist())
                     errs.append(None)
-                except NotImplementedError as e:  # real decoders may raise
+                except (ValueError, wave.Error, EOFError) as e:
                     feats.append(None)
                     errs.append(str(e))
             yield pd.DataFrame(
