@@ -1330,6 +1330,91 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization (C21) driven end-to-end by the
+    oracle: the stateful applyInPandasWithState operator runs over the real
+    events table as an availableNow file stream (two micro-batches — the
+    per-user far-future sentinel file advances the watermark past every
+    real session's gap, closing them), and the emitted sessions must match
+    the batch window semantics recomputed in SQL."""
+    import shutil
+    import tempfile
+
+    from trident_spark.streaming.sessionize import sessionize_stream
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
+    ).select("user_id", "ts", F.lit(0.0).alias("value"))
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    src = f"{tmp}/src"
+    import os
+
+    os.makedirs(src)
+    for i, frame in enumerate((ev, sentinels)):
+        stage = f"{tmp}/stage{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = f"{src}/{i}.parquet"
+        shutil.copy(f"{stage}/{part}", dst)
+        # modification-time order fixes batch order (latestFirst=false)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    name = "sessions_stream_" + os.path.basename(tmp).split("_")[-1]
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # availableNow's final batch fires event-time timeouts, so most
+    # sentinel singleton sessions ALSO emit — drop everything starting
+    # after the real data's end (sentinels sit 10 days out)
+    max_real_ts = ev.agg(F.max("ts")).first()[0]
+    return (
+        spark.table(name)
+        .where(F.col("session_start") <= F.lit(max_real_ts))
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+# the stateful operator compares SECOND-TRUNCATED timestamps (the batch
+# window's unix_timestamp does too), so the oracle floors epochs — exact
+# INTERVAL comparison would disagree on gaps within 1s of the boundary
+_EVENTS_SESSION_STREAM_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   - floor(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts)))::BIGINT > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id,
+       to_timestamp(floor(epoch(MIN(ts))))::TIMESTAMP AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only extras (non-SQL-expressible: iterative / approximate / stubbed)
 # ---------------------------------------------------------------------------
@@ -1566,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "events_hourly": q_events_hourly,
         "events_sessionized": q_events_sessionized,
+        "events_sessionized_stream": q_events_sessionized_stream,
     }
 
 
@@ -1668,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _REGION_REVENUE_ORACLE,
         "events_hourly": _EVENTS_HOURLY_ORACLE,
         "events_sessionized": _EVENTS_SESSION_ORACLE,
+        "events_sessionized_stream": _EVENTS_SESSION_STREAM_ORACLE,
         # rows-only (approximate / no meaningful oracle):
         # lang_id (corpus labels are label⟂text noise — see textstats.lang_id),
         # similarity_ann_ivf (unclustered corpus: IVF recall <1 is the
