@@ -660,6 +660,29 @@ FROM documents
 """
 
 
+def q_kg_sparql_datatype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATATYPE() filter: typed-literal metadata carried alongside the
+    lexical binding (hidden _dt_/_lang_ columns in the pattern scan)."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        f"""
+        PREFIX schema: <https://schema.org/>
+        SELECT ?s ?c WHERE {{
+            ?s schema:characterCount ?c .
+            FILTER(DATATYPE(?c) = "{XSD_INT}")
+        }}
+        """,
+    ).distinct()
+
+
+_KG_SPARQL_DATATYPE_ORACLE = f"""
+SELECT '{DOC_BASE}/doc/' || doc_id AS s, CAST(n_chars AS VARCHAR) AS c
+FROM documents
+"""
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
@@ -1620,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_star": q_kg_sparql_star,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_datatype": q_kg_sparql_datatype,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1720,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_star": _KG_SPARQL_STAR_ORACLE,
         "kg_sparql_graph": _KG_SPARQL_GRAPH_ORACLE,
         "kg_sparql_describe": _KG_SPARQL_DESCRIBE_ORACLE,
+        "kg_sparql_datatype": _KG_SPARQL_DATATYPE_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

@@ -802,3 +802,75 @@ def test_describe_mixed_and_errors(spark, graph):
         describe(graph, "DESCRIBE ?x")
     with pytest.raises(SparqlError, match="at least one"):
         describe(graph, "DESCRIBE WHERE { ?s ?p ?o }")
+
+
+# ---------------------------------------------------------------------------
+# LANG() / DATATYPE() filters (literal metadata carried alongside bindings)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("http://x/a", SCHEMA + "label", "color", "literal", None, "en"),
+        ("http://x/a", SCHEMA + "label", "couleur", "literal", None, "fr"),
+        ("http://x/a", SCHEMA + "label", "plain", "literal", None, None),
+        ("http://x/a", SCHEMA + "count", "42", "literal", XSD_INT, None),
+    ]
+    return spark.createDataFrame(rows, COLS).cache()
+
+
+def test_lang_filter(spark, tagged):
+    df = query(tagged, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?l WHERE {
+            ?s schema:label ?l .
+            FILTER(LANG(?l) = "fr")
+        }
+    """)
+    assert [r["l"] for r in df.collect()] == ["couleur"]
+
+
+def test_lang_empty_for_plain_literal(spark, tagged):
+    df = query(tagged, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?l WHERE { ?s schema:label ?l . FILTER(LANG(?l) = "") }
+    """)
+    assert [r["l"] for r in df.collect()] == ["plain"]
+
+
+def test_datatype_filter(spark, tagged):
+    df = query(tagged, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?v WHERE {
+            ?s schema:count ?v .
+            FILTER(DATATYPE(?v) = "http://www.w3.org/2001/XMLSchema#integer")
+        }
+    """)
+    assert [r["v"] for r in df.collect()] == ["42"]
+
+
+def test_datatype_defaults(spark, tagged):
+    # plain literal → xsd:string; lang-tagged → rdf:langString
+    df = query(tagged, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?l WHERE {
+            ?s schema:label ?l .
+            FILTER(DATATYPE(?l) =
+                   "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")
+        }
+    """)
+    assert sorted(r["l"] for r in df.collect()) == ["color", "couleur"]
+
+
+def test_lang_ambiguous_double_binding_rejected(spark, tagged):
+    with pytest.raises(SparqlError, match="ambiguous"):
+        query(tagged, """
+            PREFIX schema: <https://schema.org/>
+            SELECT ?l WHERE {
+                ?s schema:label ?l .
+                ?t schema:other ?l .
+                FILTER(LANG(?l) = "en")
+            }
+        """)

@@ -436,6 +436,23 @@ def _filter_sql(toks: list[str]) -> str:
             out.append(f"(`{var[1:]}` IS NOT NULL)")
             i += 4
             continue
+        elif up in ("LANG", "DATATYPE"):
+            if i + 3 >= len(toks) or toks[i + 1] != "(" \
+                    or not toks[i + 2].startswith("?") or toks[i + 3] != ")":
+                raise SparqlError(f"{up} takes one variable")
+            v = toks[i + 2][1:]
+            if up == "LANG":
+                # SPARQL LANG() returns "" for plain literals
+                out.append(f"coalesce(`_lang_{v}`, '')")
+            else:
+                # lang-tagged → rdf:langString; plain → xsd:string
+                out.append(
+                    f"(CASE WHEN `_lang_{v}` IS NOT NULL THEN "
+                    f"'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'"
+                    f" ELSE coalesce(`_dt_{v}`, "
+                    f"'http://www.w3.org/2001/XMLSchema#string') END)")
+            i += 4
+            continue
         elif up in _FILTER_FUNCS:
             out.append(_FILTER_FUNCS[up])
         elif t == "&&":
@@ -607,7 +624,8 @@ def _compile_quoted(triples: DataFrame, pat: _Pattern,
 
 def _compile_pattern(triples: DataFrame, pat: _Pattern,
                      prefixes: dict[str, str], idx: int,
-                     extra: dict[str, str] | None = None
+                     extra: dict[str, str] | None = None,
+                     meta: set[str] | None = None
                      ) -> tuple[DataFrame, set[str]]:
     if isinstance(pat.obj, _Quoted):
         return _compile_quoted(triples, pat, prefixes, idx, extra)
@@ -655,6 +673,13 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
             scan = scan.where(F.col(col) == value)
     if extra:
         rename.update(extra)  # GRAPH ?var: carry the graph term binding
+    out_vars = set(rename.values())
+    if meta and pat.obj in {f"?{v}" for v in meta}:
+        # LANG()/DATATYPE() filters need the literal's metadata alongside
+        # the lexical binding — carried as hidden _lang_/_dt_ columns
+        v = pat.obj[1:]
+        rename["obj_lang"] = f"_lang_{v}"
+        rename["obj_datatype"] = f"_dt_{v}"
     proj = [F.col(c).alias(v) for c, v in rename.items()]
     if proj:
         # RDF graphs are sets: duplicate captures of the same triple must
@@ -662,7 +687,7 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
         scan = scan.select(*proj).distinct()
     else:
         scan = scan.select(F.lit(1).alias(f"_m{idx}")).limit(1)
-    return scan, set(rename.values())
+    return scan, out_vars
 
 
 def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
@@ -746,6 +771,21 @@ def _reorder_group(elements: list) -> list:
     return out
 
 
+def _meta_vars(elements: list) -> set[str]:
+    """Variables whose literal metadata the group's filters inspect via
+    LANG(?v) / DATATYPE(?v) — their pattern scans must carry it along."""
+    need: set[str] = set()
+    for el in elements:
+        if isinstance(el, tuple) and el and el[0] == "filter":
+            toks = el[1]
+            for i, t in enumerate(toks):
+                if t.upper() in ("LANG", "DATATYPE") \
+                        and toks[i + 1 : i + 2] == ["("] \
+                        and i + 2 < len(toks) and toks[i + 2].startswith("?"):
+                    need.add(toks[i + 2][1:])
+    return need
+
+
 def _compile_group(triples: DataFrame, group: _Group,
                    prefixes: dict[str, str],
                    quads: DataFrame | None = None,
@@ -755,9 +795,20 @@ def _compile_group(triples: DataFrame, group: _Group,
     bound: set[str] = set()
     filters: list[list[str]] = []
     exists: list[tuple[bool, _Group]] = []
+    meta = _meta_vars(group.elements)
+    meta_provided: set[str] = set()
     for idx, el in enumerate(_reorder_group(group.elements)):
         if isinstance(el, _Pattern):
-            scan, vars_ = _compile_pattern(triples, el, prefixes, idx, extra)
+            if meta and not isinstance(el.obj, _Quoted) \
+                    and el.obj.startswith("?") and el.obj[1:] in meta:
+                v = el.obj[1:]
+                if v in meta_provided:
+                    raise SparqlError(
+                        f"LANG/DATATYPE(?{v}) is ambiguous: ?{v} is bound "
+                        "in object position by more than one pattern")
+                meta_provided.add(v)
+            scan, vars_ = _compile_pattern(triples, el, prefixes, idx, extra,
+                                           meta)
             how = "inner"
         elif el[0] == "filter":
             filters.append(el[1])
