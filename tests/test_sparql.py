@@ -874,3 +874,30 @@ def test_lang_ambiguous_double_binding_rejected(spark, tagged):
                 FILTER(LANG(?l) = "en")
             }
         """)
+
+
+def test_isiri_isliteral_filters(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?o WHERE { <http://x/alice> ?p ?o . FILTER(ISIRI(?o)) }
+    """)
+    assert sorted(r["o"] for r in df.collect()) == [
+        "http://x/acme", SCHEMA + "Person"]
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?o WHERE { <http://x/alice> ?p ?o . FILTER(ISLITERAL(?o)) }
+    """)
+    assert [r["o"] for r in df.collect()] == ["Alice"]
+
+
+def test_isblank_filter(spark):
+    rows = [
+        ("http://x/s", SCHEMA + "p", "_:b1", "blank", None, None),
+        ("http://x/s", SCHEMA + "p", "plain", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?o WHERE { ?s schema:p ?o . FILTER(ISBLANK(?o)) }
+    """)
+    assert [r["o"] for r in df.collect()] == ["_:b1"]

@@ -453,6 +453,16 @@ def _filter_sql(toks: list[str]) -> str:
                     f"'http://www.w3.org/2001/XMLSchema#string') END)")
             i += 4
             continue
+        elif up in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+            if i + 3 >= len(toks) or toks[i + 1] != "(" \
+                    or not toks[i + 2].startswith("?") or toks[i + 3] != ")":
+                raise SparqlError(f"{up} takes one variable")
+            v = toks[i + 2][1:]
+            kind = {"ISIRI": "iri", "ISURI": "iri",
+                    "ISLITERAL": "literal", "ISBLANK": "blank"}[up]
+            out.append(f"(`_kind_{v}` = '{kind}')")
+            i += 4
+            continue
         elif up in _FILTER_FUNCS:
             out.append(_FILTER_FUNCS[up])
         elif t == "&&":
@@ -675,11 +685,12 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
         rename.update(extra)  # GRAPH ?var: carry the graph term binding
     out_vars = set(rename.values())
     if meta and pat.obj in {f"?{v}" for v in meta}:
-        # LANG()/DATATYPE() filters need the literal's metadata alongside
-        # the lexical binding — carried as hidden _lang_/_dt_ columns
+        # LANG()/DATATYPE()/isIRI()-family filters need the term's metadata
+        # alongside the lexical binding — hidden _lang_/_dt_/_kind_ columns
         v = pat.obj[1:]
         rename["obj_lang"] = f"_lang_{v}"
         rename["obj_datatype"] = f"_dt_{v}"
+        rename["obj_kind"] = f"_kind_{v}"
     proj = [F.col(c).alias(v) for c, v in rename.items()]
     if proj:
         # RDF graphs are sets: duplicate captures of the same triple must
@@ -779,7 +790,8 @@ def _meta_vars(elements: list) -> set[str]:
         if isinstance(el, tuple) and el and el[0] == "filter":
             toks = el[1]
             for i, t in enumerate(toks):
-                if t.upper() in ("LANG", "DATATYPE") \
+                if t.upper() in ("LANG", "DATATYPE", "ISIRI", "ISURI",
+                                 "ISLITERAL", "ISBLANK") \
                         and toks[i + 1 : i + 2] == ["("] \
                         and i + 2 < len(toks) and toks[i + 2].startswith("?"):
                     need.add(toks[i + 2][1:])
