@@ -5,9 +5,12 @@
   answering a two-pattern BGP join.
 - ``queries()``      — one entry per operator family from SURVEY.md §2:
   RFC conformance kernels (golden-vector oracles), KG pipeline end-to-end
-  (SQL-reconstructable oracle), dedup/similarity/text ops, relational and
-  window queries.  Approximate/iterative ops (LSH, SimHash, CC, language-ID)
-  are rows-only here and verified against exact counterparts in tests/.
+  (SQL-reconstructable oracle), SPARQL 1.1/1.2 surface, RDF 1.2 triple
+  terms, dedup/clustering/sampling/similarity/text ops, streaming
+  sessionization, relational and window queries.  Three queries remain
+  rows-only with documented reasons (lang_id: corpus labels independent of
+  text; similarity_ann_ivf / embedding_near_dup_lsh: recall targets on an
+  unclustered corpus) and carry pytest recall/behavior gates instead.
 - ``oracle_sql()``   — DuckDB equivalents, column names aligned 1:1.
 """
 

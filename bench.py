@@ -152,7 +152,11 @@ def run_headline(spark) -> dict[str, float]:
         "kg_sparql_subquery",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_clusters",
         "dedup_simhash",
+        "sample_deterministic",
+        "text_top_ngrams",
+        "embedding_centroids",
         "text_quality",
         "doc_fingerprint",
         "lang_id",
@@ -250,7 +254,13 @@ def write_baseline_md(timings: dict, scaling: dict | None, total: float,
             "|---|---|",
         ]
         lines += [f"| {k} | {int(v)} |" for k, v in kernels.items()]
-        lines += [""]
+        lines += [
+            "",
+            "(Kernel numbers drift with the VM's load-throttling: the same",
+            "extract_page microbench has measured 3.6k-6.7k pages/sec within",
+            "one day; treat ratios between kernels, not absolutes, as stable.)",
+            "",
+        ]
     if scaling:
         pps = scaling["pages_per_sec"]
         lines += [
