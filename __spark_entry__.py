@@ -686,6 +686,46 @@ FROM documents
 """
 
 
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update in immutable form: DELETE the provider edges,
+    INSERT the reversed schema:published edges, return the NEW graph —
+    the oracle reconstructs the whole post-update triple set."""
+    from trident_spark.query.sparql import update
+
+    return update(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        DELETE { ?d schema:provider ?org }
+        INSERT { ?org schema:published ?d }
+        WHERE  { ?d schema:provider ?org }
+        """,
+    ).select("subj", "pred", "obj_lexical", "obj_kind").distinct()
+
+
+_KG_SPARQL_UPDATE_ORACLE = f"""
+WITH base AS (
+  SELECT '{DOC_BASE}/doc/' || doc_id AS doc,
+         '{DOC_BASE}/org/' || source AS org,
+         text, lang, source, n_chars
+  FROM documents
+), t AS (
+  SELECT doc AS subj, '{RDF_TYPE}' AS pred,
+         '{SCHEMA}TextDigitalDocument' AS obj_lexical, 'iri' AS obj_kind
+  FROM base
+  UNION ALL SELECT doc, '{SCHEMA}text', text, 'literal' FROM base
+  UNION ALL SELECT doc, '{SCHEMA}inLanguage', lang, 'literal' FROM base
+  UNION ALL SELECT doc, '{SCHEMA}characterCount', CAST(n_chars AS VARCHAR),
+            'literal' FROM base
+  UNION ALL SELECT org, '{SCHEMA}published', doc, 'iri' FROM base
+  UNION ALL SELECT DISTINCT org, '{RDF_TYPE}', '{SCHEMA}Organization', 'iri'
+            FROM base
+  UNION ALL SELECT DISTINCT org, '{SCHEMA}name', source, 'literal' FROM base
+)
+SELECT DISTINCT subj, pred, obj_lexical, obj_kind FROM t
+"""
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
@@ -1647,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_datatype": q_kg_sparql_datatype,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
@@ -1748,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_graph": _KG_SPARQL_GRAPH_ORACLE,
         "kg_sparql_describe": _KG_SPARQL_DESCRIBE_ORACLE,
         "kg_sparql_datatype": _KG_SPARQL_DATATYPE_ORACLE,
+        "kg_sparql_update": _KG_SPARQL_UPDATE_ORACLE,
         # round-trip must reproduce the same independent reconstruction
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,

@@ -901,3 +901,65 @@ def test_isblank_filter(spark):
         SELECT ?o WHERE { ?s schema:p ?o . FILTER(ISBLANK(?o)) }
     """)
     assert [r["o"] for r in df.collect()] == ["_:b1"]
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (immutable form: returns the new graph)
+# ---------------------------------------------------------------------------
+
+
+def test_update_insert_and_delete_data(spark, graph):
+    from trident_spark.query.sparql import update
+
+    g2 = update(graph, """
+        PREFIX schema: <https://schema.org/>
+        INSERT DATA { <http://x/dave> a schema:Person .
+                      <http://x/dave> schema:name "Dave" }
+    """)
+    assert g2.count() == graph.count() + 2
+    assert g2.where("subj = 'http://x/dave'").count() == 2
+    # input frame untouched (immutable semantics)
+    assert graph.where("subj = 'http://x/dave'").count() == 0
+
+    g3 = update(graph, """
+        PREFIX schema: <https://schema.org/>
+        DELETE DATA { <http://x/alice> schema:name "Alice" }
+    """)
+    assert g3.count() == graph.count() - 1
+    assert g3.where("obj_lexical = 'Alice'").count() == 0
+
+
+def test_update_delete_where(spark, graph):
+    from trident_spark.query.sparql import update
+
+    g2 = update(graph, """
+        PREFIX schema: <https://schema.org/>
+        DELETE WHERE { ?p schema:worksFor ?o }
+    """)
+    assert g2.where(f"pred = '{SCHEMA}worksFor'").count() == 0
+    assert g2.count() == graph.count() - 2
+
+
+def test_update_delete_insert_where(spark, graph):
+    from trident_spark.query.sparql import update
+
+    g2 = update(graph, """
+        PREFIX schema: <https://schema.org/>
+        DELETE { ?p schema:worksFor ?o }
+        INSERT { ?o schema:employs ?p }
+        WHERE  { ?p schema:worksFor ?o }
+    """)
+    employs = {(r["subj"], r["obj_lexical"], r["obj_kind"]) for r in
+               g2.where(f"pred = '{SCHEMA}employs'").collect()}
+    assert employs == {("http://x/acme", "http://x/alice", "iri"),
+                       ("http://x/globex", "http://x/bob", "iri")}
+    assert g2.where(f"pred = '{SCHEMA}worksFor'").count() == 0
+
+
+def test_update_rejects_malformed(spark, graph):
+    from trident_spark.query.sparql import update
+
+    with pytest.raises(SparqlError, match="variables"):
+        update(graph, "INSERT DATA { ?x <http://p> <http://o> }")
+    with pytest.raises(SparqlError, match="WHERE"):
+        update(graph, "INSERT { <http://a> <http://b> <http://c> }")

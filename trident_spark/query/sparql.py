@@ -1279,7 +1279,14 @@ def construct(triples: DataFrame, sparql: str) -> DataFrame:
         raise SparqlError(
             f"unexpected token after CONSTRUCT WHERE: {toks[j]!r}")
     plan, bound = _compile_group(triples, group, prefixes)
+    return _instantiate(triples, template, plan, bound, prefixes)
 
+
+def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
+                 bound: set[str], prefixes: dict[str, str]) -> DataFrame:
+    """Template triple patterns × solution multiset → lexical triples
+    (subj, pred, obj_lexical, obj_kind).  Shared by CONSTRUCT and the
+    UPDATE forms."""
     # term → kind dictionary (iri beats literal when a lexical form is both)
     kind_rank = F.when(F.col("obj_kind") == "iri", 0) \
                  .when(F.col("obj_kind") == "blank", 1).otherwise(2)
@@ -1330,5 +1337,135 @@ def construct(triples: DataFrame, sparql: str) -> DataFrame:
     result = outs[0]
     for o in outs[1:]:
         result = result.union(o)
-    # CONSTRUCT produces an RDF graph — a set of triples
+    # an RDF graph is a set of triples
     return result.distinct()
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update — immutable-DataFrame form: returns the NEW graph
+# ---------------------------------------------------------------------------
+
+
+def _ground_rows(group: _Group, prefixes: dict[str, str]) -> list[tuple]:
+    rows = []
+    for el in group.elements:
+        if not isinstance(el, _Pattern) or isinstance(el.pred, tuple) \
+                or isinstance(el.obj, _Quoted):
+            raise SparqlError("DATA blocks must be plain ground triples")
+        for t in (el.subj, el.pred, el.obj):
+            if t.startswith("?"):
+                raise SparqlError("DATA blocks cannot contain variables")
+        okind = ("literal" if el.obj.startswith('"')
+                 else "blank" if el.obj.startswith("_:") else "iri")
+        rows.append((
+            el.subj if el.subj.startswith("_:")
+            else _expand(el.subj, prefixes),
+            _expand(el.pred, prefixes),
+            _term_value(el.obj, prefixes),
+            okind,
+        ))
+    return rows
+
+
+_CORE = ["subj", "pred", "obj_lexical", "obj_kind"]
+
+
+def update(triples: DataFrame, sparql: str) -> DataFrame:
+    """SPARQL 1.1 Update over an immutable graph: returns the NEW lexical
+    triples frame (never mutates the input — the natural Update semantics
+    on top of snapshot tables like Iceberg: write the result as the next
+    snapshot).
+
+    Supported: ``INSERT DATA { ground }``, ``DELETE DATA { ground }``,
+    ``DELETE WHERE { patterns }``, and the template form
+    ``[DELETE { t }] [INSERT { t }] WHERE { group }``.
+
+    Deletion matches on (subj, pred, obj_lexical, obj_kind) — datatype and
+    language tags are not part of the match key (documented simplification;
+    same-lexical literals with different datatypes delete together).
+    Inserted rows carry NULL datatype/lang and NULL for any extra columns
+    of the input frame."""
+    toks, prefixes = _prep(sparql)
+    if not toks:
+        raise SparqlError("empty update")
+    spark = triples.sparkSession
+
+    def insert_frame(rows: list[tuple]) -> DataFrame:
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj_lexical string, "
+                  "obj_kind string")
+
+    def apply(delete_df: DataFrame | None,
+              insert_df: DataFrame | None) -> DataFrame:
+        out = triples
+        if delete_df is not None:
+            out = out.join(delete_df.select(*_CORE).distinct(),
+                           _CORE, "left_anti")
+        if insert_df is not None:
+            out = out.unionByName(insert_df.select(*_CORE).distinct(),
+                                  allowMissingColumns=True)
+        return out
+
+    head = toks[0].upper()
+    if head in ("INSERT", "DELETE") and len(toks) > 1 \
+            and toks[1].upper() == "DATA":
+        if len(toks) < 3 or toks[2] != "{":
+            raise SparqlError(f"{head} DATA requires a group")
+        group, i = _parse_group(toks, 3)
+        if toks[i:]:
+            raise SparqlError(f"unexpected token after DATA: {toks[i]!r}")
+        df = insert_frame(_ground_rows(group, prefixes))
+        return apply(df, None) if head == "DELETE" else apply(None, df)
+
+    if head == "DELETE" and len(toks) > 1 and toks[1].upper() == "WHERE":
+        # DELETE WHERE { patterns }: the pattern group is its own template
+        if len(toks) < 3 or toks[2] != "{":
+            raise SparqlError("DELETE WHERE requires a group")
+        group, i = _parse_group(toks, 3)
+        if toks[i:]:
+            raise SparqlError(
+                f"unexpected token after DELETE WHERE: {toks[i]!r}")
+        template = [el for el in group.elements if isinstance(el, _Pattern)]
+        if len(template) != len(group.elements) or not template:
+            raise SparqlError(
+                "DELETE WHERE group must be plain triple patterns")
+        plan, bound = _compile_group(triples, group, prefixes)
+        matched = _instantiate(triples, template, plan, bound, prefixes)
+        return apply(matched, None)
+
+    # template form: [DELETE { t }] [INSERT { t }] WHERE { group }
+    i = 0
+    del_tmpl: list | None = None
+    ins_tmpl: list | None = None
+    while i < len(toks) and toks[i].upper() in ("DELETE", "INSERT"):
+        kw = toks[i].upper()
+        if i + 1 >= len(toks) or toks[i + 1] != "{":
+            raise SparqlError(f"{kw} requires a template group")
+        tg, i = _parse_group(toks, i + 2)
+        tmpl = [el for el in tg.elements if isinstance(el, _Pattern)]
+        if len(tmpl) != len(tg.elements) or not tmpl:
+            raise SparqlError(f"{kw} template must be plain triple patterns")
+        if kw == "DELETE":
+            if del_tmpl is not None:
+                raise SparqlError("duplicate DELETE template")
+            del_tmpl = tmpl
+        else:
+            if ins_tmpl is not None:
+                raise SparqlError("duplicate INSERT template")
+            ins_tmpl = tmpl
+    if del_tmpl is None and ins_tmpl is None:
+        raise SparqlError(
+            "expected INSERT DATA / DELETE DATA / DELETE WHERE / "
+            "DELETE-INSERT-WHERE")
+    if i >= len(toks) or toks[i].upper() != "WHERE" \
+            or i + 1 >= len(toks) or toks[i + 1] != "{":
+        raise SparqlError("update template form requires WHERE { ... }")
+    group, j = _parse_group(toks, i + 2)
+    if toks[j:]:
+        raise SparqlError(f"unexpected token after WHERE: {toks[j]!r}")
+    plan, bound = _compile_group(triples, group, prefixes)
+    delete_df = (_instantiate(triples, del_tmpl, plan, bound, prefixes)
+                 if del_tmpl else None)
+    insert_df = (_instantiate(triples, ins_tmpl, plan, bound, prefixes)
+                 if ins_tmpl else None)
+    return apply(delete_df, insert_df)
