@@ -963,3 +963,32 @@ def test_update_rejects_malformed(spark, graph):
         update(graph, "INSERT DATA { ?x <http://p> <http://o> }")
     with pytest.raises(SparqlError, match="WHERE"):
         update(graph, "INSERT { <http://a> <http://b> <http://c> }")
+
+
+def test_property_path_zero_or_one(spark, chain):
+    df = query(chain, """
+        SELECT ?x WHERE { <http://n/2> <http://p/next>? ?x . } ORDER BY ?x
+    """)
+    assert [r["x"] for r in df.collect()] == ["http://n/2", "http://n/3"]
+
+
+def test_group_concat_and_sample(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?t (GROUP_CONCAT(?n) AS ?names) (SAMPLE(?n) AS ?one)
+        WHERE { ?s a ?t ; schema:name ?n } GROUP BY ?t ORDER BY ?t
+    """)
+    got = [(r["t"], r["names"], r["one"]) for r in df.collect()]
+    assert got == [
+        (SCHEMA + "Organization", "Acme Globex", "Acme"),
+        (SCHEMA + "Person", "Alice Bob", "Alice"),
+    ]
+
+
+def test_select_reduced(spark, graph):
+    df = query(graph.union(graph), """
+        PREFIX schema: <https://schema.org/>
+        SELECT REDUCED ?t WHERE { ?s a ?t }
+    """)
+    assert sorted(r["t"] for r in df.collect()) == [
+        SCHEMA + "Organization", SCHEMA + "Person"]

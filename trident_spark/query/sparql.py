@@ -69,7 +69,8 @@ _TOKEN_RE = re.compile(
     | [A-Za-z_][A-Za-z0-9_\-]*(?::[A-Za-z0-9_\-.]*)?    # keyword / pname / a
     | [0-9]+(?:\.[0-9]+)?                               # number
     | && | \|\| | != | <= | >=                          # 2-char operators
-    | [{}().,;=<>!*/+\-^|]                              # 1-char punctuation
+    | [{}().,;=<>!*/+\-^|?]                             # 1-char punctuation
+                                                        # (? = path 0-or-1)
     """,
     re.VERBOSE,
 )
@@ -132,8 +133,8 @@ def _parse_path(toks: list[str], i: int) -> tuple:
         if toks[i] == "^":
             inv, i = True, i + 1
         node, i = primary(i)
-        while i < len(toks) and toks[i] in ("+", "*"):
-            node = ("plus" if toks[i] == "+" else "star", node)
+        while i < len(toks) and toks[i] in ("+", "*", "?"):
+            node = ({"+": "plus", "*": "star", "?": "opt"}[toks[i]], node)
             i += 1
         return (("inv", node) if inv else node), i
 
@@ -479,6 +480,17 @@ def _filter_sql(toks: list[str]) -> str:
     return " ".join(out)
 
 
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """identity pairs (n, n) over every graph term — the zero-length path
+    of the `*` and `?` operators."""
+    nodes = (
+        triples.select(F.col("subj").alias("_ps"))
+        .union(triples.select(F.col("obj_lexical")))
+        .distinct()
+    )
+    return nodes.select("_ps", F.col("_ps").alias("_po"))
+
+
 def _compile_path(triples: DataFrame, node: tuple,
                   prefixes: dict[str, str]) -> DataFrame:
     """Property path → distinct (_ps, _po) endpoint pairs.
@@ -517,6 +529,10 @@ def _compile_path(triples: DataFrame, node: tuple,
             .union(_compile_path(triples, node[2], prefixes))
             .distinct()
         )
+    if kind == "opt":
+        # zero-or-one: the base pairs plus the identity pair on every node
+        base = _compile_path(triples, node[1], prefixes)
+        return base.union(_graph_nodes(triples)).distinct()
     if kind in ("plus", "star"):
         base = _compile_path(triples, node[1], prefixes).localCheckpoint(
             eager=True)
@@ -533,13 +549,7 @@ def _compile_path(triples: DataFrame, node: tuple,
             paths = paths.union(new).distinct().localCheckpoint(eager=True)
             frontier = new
         if kind == "star":
-            nodes = (
-                triples.select(F.col("subj").alias("_ps"))
-                .union(triples.select(F.col("obj_lexical")))
-                .distinct()
-            )
-            paths = paths.union(
-                nodes.select("_ps", F.col("_ps").alias("_po"))).distinct()
+            paths = paths.union(_graph_nodes(triples)).distinct()
         return paths
     raise SparqlError(f"unknown path node {node!r}")  # pragma: no cover
 
@@ -926,8 +936,15 @@ def _compile_group(triples: DataFrame, group: _Group,
 
 
 # SELECT items: plain var or (AGG(?v) AS ?alias)
-_AGG_FUNCS = {"COUNT": F.count, "SUM": F.sum, "AVG": F.avg,
-              "MIN": F.min, "MAX": F.max}
+_AGG_FUNCS = {
+    "COUNT": F.count, "SUM": F.sum, "AVG": F.avg, "MIN": F.min,
+    "MAX": F.max,
+    # SAMPLE may return any value — min is the deterministic choice
+    "SAMPLE": F.min,
+    # GROUP_CONCAT with the spec's default " " separator; values sorted so
+    # the result is deterministic (SPARQL leaves the order undefined)
+    "GROUP_CONCAT": lambda c: F.concat_ws(" ", F.array_sort(F.collect_list(c))),
+}
 
 
 @dataclass
@@ -946,7 +963,9 @@ class _SelectItem:
 def _parse_select_items(toks: list[str]) -> tuple[bool, list[_SelectItem] | None]:
     """tokens between SELECT and WHERE → (distinct, items|None for '*')."""
     i, distinct = 0, False
-    if i < len(toks) and toks[i].upper() == "DISTINCT":
+    if i < len(toks) and toks[i].upper() in ("DISTINCT", "REDUCED"):
+        # REDUCED permits (but does not require) duplicate elimination —
+        # eliminating is the deterministic choice
         distinct, i = True, i + 1
     if toks[i:] == ["*"]:
         return distinct, None
