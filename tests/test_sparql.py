@@ -992,3 +992,16 @@ def test_select_reduced(spark, graph):
     """)
     assert sorted(r["t"] for r in df.collect()) == [
         SCHEMA + "Organization", SCHEMA + "Person"]
+
+
+def test_negated_property_set(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?o WHERE { <http://x/alice> !(schema:name|schema:worksFor) ?o }
+    """)
+    assert [r["o"] for r in df.collect()] == [SCHEMA + "Person"]
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?o WHERE { <http://x/acme> !schema:name ?o }
+    """)
+    assert [r["o"] for r in df.collect()] == [SCHEMA + "Organization"]

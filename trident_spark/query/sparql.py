@@ -118,6 +118,32 @@ def _parse_path(toks: list[str], i: int) -> tuple:
     """Recursive-descent SPARQL property path: alt < seq < postfix < inverse."""
 
     def primary(i):
+        if toks[i] == "!":
+            # negated property set: !iri or !(iri|iri|...); forward
+            # predicates only (no ^iri members)
+            i += 1
+            members: list[str] = []
+            if i < len(toks) and toks[i] == "(":
+                i += 1
+                while True:
+                    if i >= len(toks) or not _is_term(toks[i]) \
+                            or toks[i].startswith("?"):
+                        raise SparqlError("invalid negated property set")
+                    members.append(toks[i])
+                    i += 1
+                    if i < len(toks) and toks[i] == "|":
+                        i += 1
+                        continue
+                    break
+                if i >= len(toks) or toks[i] != ")":
+                    raise SparqlError("unbalanced negated property set")
+                i += 1
+            else:
+                if i >= len(toks) or not _is_term(toks[i]) \
+                        or toks[i].startswith("?"):
+                    raise SparqlError("invalid negated property set")
+                members, i = [toks[i]], i + 1
+            return ("neg", members), i
         if toks[i] == "(":
             node, i = alt(i + 1)
             if i >= len(toks) or toks[i] != ")":
@@ -527,6 +553,14 @@ def _compile_path(triples: DataFrame, node: tuple,
         return (
             _compile_path(triples, node[1], prefixes)
             .union(_compile_path(triples, node[2], prefixes))
+            .distinct()
+        )
+    if kind == "neg":
+        values = [_expand(t, prefixes) for t in node[1]]
+        return (
+            triples.where(~F.col("pred").isin(values))
+            .select(F.col("subj").alias("_ps"),
+                    F.col("obj_lexical").alias("_po"))
             .distinct()
         )
     if kind == "opt":
