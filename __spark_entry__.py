@@ -255,6 +255,151 @@ def q_langtag_extlang_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# consolidated conformance suites — the driver verifies at most 50 queries,
+# so the 11 single-purpose vector queries above are union'd into two frames
+# (one per kernel family) carrying every vector with a suite label.  The
+# individual queries stay registered in extra_queries() and keep their
+# oracle rows in the local bit-faithful mirror (tests/test_entry_contract.py).
+# ---------------------------------------------------------------------------
+
+
+def q_iri_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every IRI kernel conformance vector in one frame: RFC 3986 §5.4
+    resolution, syntax-based + host normalization, IRI↔URI (RFC 3987 §3.1/
+    §3.6), relativization round-trips, and byte-exact parse/reject tables
+    (reference contract: iri/iri.go + iri/resolve.go + iri/normalize.go)."""
+    from trident_spark.conformance import PARSE_INVALID_REFS, PARSE_VALID_REFS
+    from trident_spark.functions.iri_funcs import (
+        iri_normalize, iri_parse, iri_relativize, iri_resolve, iri_to_uri,
+        uri_to_iri,
+    )
+
+    base = "http://a/b/c/d;p?q"
+    frames = []
+    res = spark.createDataFrame(
+        [(base, rel) for rel, _ in _iri_resolve_vectors()],
+        "base string, rel string",
+    )
+    frames.append(res.select(
+        F.lit("resolve").alias("suite"), F.col("rel").alias("input"),
+        iri_resolve("base", "rel")["value"].alias("output")))
+    norm = spark.createDataFrame(
+        [(i,) for i, _ in _iri_normalize_vectors()], "input string")
+    frames.append(norm.select(
+        F.lit("normalize").alias("suite"), "input",
+        iri_normalize("input")["value"].alias("output")))
+    touri = spark.createDataFrame(
+        [(i,) for i, _ in _iri_to_uri_vectors()], "input string")
+    frames.append(touri.select(
+        F.lit("to_uri").alias("suite"), "input",
+        iri_to_uri("input")["value"].alias("output")))
+    fromuri = spark.createDataFrame(
+        [(u,) for u, _ in _uri_to_iri_vectors()], "input string")
+    frames.append(fromuri.select(
+        F.lit("from_uri").alias("suite"), "input",
+        uri_to_iri("input")["value"].alias("output")))
+    rel = spark.createDataFrame(
+        [(b, t) for b, t, _ in _relativize_vectors()],
+        "base string, target string",
+    )
+    frames.append(rel.select(
+        F.lit("relativize").alias("suite"),
+        F.concat_ws(" ", "base", "target").alias("input"),
+        iri_relativize("base", "target")["value"].alias("output")))
+    pv = spark.createDataFrame([(v,) for v in PARSE_VALID_REFS], "input string")
+    p = iri_parse("input")
+    frames.append(pv.select(
+        F.lit("parse").alias("suite"), "input",
+        F.when(p["error"].isNull(), p["iri"])
+        .otherwise(F.lit("REJECTED")).alias("output")))
+    pi = spark.createDataFrame(
+        [(v,) for v in PARSE_INVALID_REFS], "input string")
+    p2 = iri_parse("input")
+    frames.append(pi.select(
+        F.lit("reject").alias("suite"), "input",
+        F.when(p2["error"].isNotNull(), F.lit("REJECTED"))
+        .otherwise(p2["iri"]).alias("output")))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _iri_conformance_oracle() -> str:
+    from trident_spark.conformance import PARSE_INVALID_REFS, PARSE_VALID_REFS
+
+    rows = [("resolve", rel, exp) for rel, exp in _iri_resolve_vectors()]
+    rows += [("normalize", i, e) for i, e in _iri_normalize_vectors()]
+    rows += [("to_uri", i, e) for i, e in _iri_to_uri_vectors()]
+    rows += [("from_uri", u, e) for u, e in _uri_to_iri_vectors()]
+    rows += [("relativize", f"{b} {t}", e) for b, t, e in _relativize_vectors()]
+    rows += [("parse", v, v) for v in PARSE_VALID_REFS]
+    rows += [("reject", v, "REJECTED") for v in PARSE_INVALID_REFS]
+    return _values_sql(rows, ("suite", "input", "output"))
+
+
+def q_langtag_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every BCP 47 conformance vector in one frame: Parse well-formedness,
+    ParseAndNormalize canonicalization (RFC 5646 §4.5), both rejection
+    tables, and ToExtlangForm (reference: langtag/langtag.go)."""
+    from trident_spark.conformance import (
+        EXTLANG_FORM_CASES, LANGTAG_NORMALIZE_INVALID, LANGTAG_PARSE_INVALID,
+    )
+    from trident_spark.functions.langtag_funcs import (
+        langtag_normalize, langtag_parse, langtag_to_extlang,
+    )
+
+    frames = []
+    norm = spark.createDataFrame(
+        [(t,) for t, _ in _langtag_vectors()], "input string")
+    frames.append(norm.select(
+        F.lit("normalize").alias("suite"), "input",
+        langtag_normalize("input")["tag"].alias("output")))
+    par = spark.createDataFrame(
+        [(t,) for t, _ in _langtag_parse_vectors()], "input string")
+    frames.append(par.select(
+        F.lit("parse").alias("suite"), "input",
+        langtag_parse("input")["tag"].alias("output")))
+    rp = spark.createDataFrame(
+        [(t,) for t in LANGTAG_PARSE_INVALID], "input string")
+    pp = langtag_parse("input")
+    frames.append(rp.select(
+        F.lit("reject_parse").alias("suite"), "input",
+        F.when(pp["error"].isNotNull(), F.lit("REJECTED"))
+        .otherwise(pp["tag"]).alias("output")))
+    rn = spark.createDataFrame(
+        [(t,) for t in LANGTAG_NORMALIZE_INVALID], "input string")
+    nn = langtag_normalize("input")
+    frames.append(rn.select(
+        F.lit("reject_normalize").alias("suite"), "input",
+        F.when(nn["error"].isNotNull(), F.lit("REJECTED"))
+        .otherwise(nn["tag"]).alias("output")))
+    ex = spark.createDataFrame(
+        [(t,) for t, _ in EXTLANG_FORM_CASES], "input string")
+    frames.append(ex.select(
+        F.lit("extlang").alias("suite"), "input",
+        langtag_to_extlang("input")["tag"].alias("output")))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _langtag_conformance_oracle() -> str:
+    from trident_spark.conformance import (
+        EXTLANG_FORM_CASES, LANGTAG_NORMALIZE_INVALID, LANGTAG_PARSE_INVALID,
+    )
+
+    rows = [("normalize", t, e) for t, e in _langtag_vectors()]
+    rows += [("parse", t, e) for t, e in _langtag_parse_vectors()]
+    rows += [("reject_parse", t, "REJECTED") for t in LANGTAG_PARSE_INVALID]
+    rows += [("reject_normalize", t, "REJECTED")
+             for t in LANGTAG_NORMALIZE_INVALID]
+    rows += [("extlang", t, e) for t, e in EXTLANG_FORM_CASES]
+    return _values_sql(rows, ("suite", "input", "output"))
+
+
+# ---------------------------------------------------------------------------
 # KG pipeline queries (oracle reconstructs triples from documents in SQL)
 # ---------------------------------------------------------------------------
 
@@ -1650,36 +1795,143 @@ def _multimodal_expected_rows(n: int = 60, seed: int = 42,
 
 
 # ---------------------------------------------------------------------------
+# consolidated operator suites (driver-window economy, same evidence):
+# the component queries remain in extra_queries() for the local mirror.
+# ---------------------------------------------------------------------------
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + document fingerprinting in one
+    frame (joined on doc_id — each is a narrow per-doc projection, so the
+    join is a zip of co-partitioned scans, no extra pass over text)."""
+    from trident_spark.operators.textstats import (
+        fingerprint, quality_features, token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = token_count(docs).select(
+        "doc_id", "n_tokens", "n_chars",
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+    )
+    qual = quality_features(docs).select(
+        "doc_id", "mean_token_len", "punct_ratio", "stopword_ratio")
+    return tok.join(qual, "doc_id").join(fingerprint(docs), "doc_id")
+
+
+def _text_features_oracle() -> str:
+    return f"""
+SELECT t.doc_id, t.n_tokens, t.n_chars, t.n_subword_est,
+       q.mean_token_len, q.punct_ratio, q.stopword_ratio, f.fingerprint
+FROM ({_TOKEN_COUNT_ORACLE}) t
+JOIN ({_TEXT_QUALITY_ORACLE}) q ON t.doc_id = q.doc_id
+JOIN ({_FINGERPRINT_ORACLE}) f ON t.doc_id = f.doc_id
+"""
+
+
+def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample + stratified per-language sample (en 50%,
+    rest 10%) in one frame, labeled by mode."""
+    det = q_sample_deterministic(spark, sf_dir).select(
+        F.lit("det").alias("mode"), "doc_id", "lang")
+    strat = q_sample_stratified(spark, sf_dir).select(
+        F.lit("strat").alias("mode"), "doc_id", "lang")
+    return det.unionByName(strat)
+
+
+def _sample_suite_oracle() -> str:
+    return f"""
+SELECT 'det' AS mode, doc_id, lang FROM ({_SAMPLE_DET_ORACLE}) d
+UNION ALL
+SELECT 'strat', doc_id, lang FROM ({_SAMPLE_STRAT_ORACLE}) s
+"""
+
+
+def q_similarity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the verify path) and the hyperplane-
+    LSH bucket-prefiltered ANN top-k (the 100 TB path) in one frame — both
+    oracle-exact (the LSH mirror recomputes bucket semantics in SQL)."""
+    from trident_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    q = _query_vector(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, q, k=10).select(
+        F.lit("exact").alias("method"), "vec_id")
+    lsh = lsh_bucket_topk(emb, q, k=10, n_bits=6, probes=4).select(
+        F.lit("lsh").alias("method"), "vec_id")
+    return exact.unionByName(lsh)
+
+
+def _similarity_suite_oracle() -> str:
+    return f"""
+SELECT 'exact' AS method, vec_id FROM ({_SIMILARITY_TOPK_ORACLE}) e
+UNION ALL
+SELECT 'lsh', vec_id FROM ({_ann_lsh_oracle()}) l
+"""
+
+
+def q_kg_sparql_bind_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery (inner GROUP BY aggregation) joined to the outer pattern,
+    plus BIND computing a label from an outer binding — one driver row
+    covering both features."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?label ?n WHERE {
+            ?org a schema:Organization ; schema:name ?nm .
+            { SELECT ?org (COUNT(?d) AS ?n) WHERE {
+                ?d schema:provider ?org } GROUP BY ?org }
+            BIND(CONCAT("ORG:", UCASE(?nm)) AS ?label)
+        }
+        """,
+    )
+
+
+_KG_SPARQL_BIND_SUBQUERY_ORACLE = """
+SELECT 'ORG:' || UPPER(source) AS label, COUNT(*) AS n
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-verified set — kept ≤50 entries so every row gets a hard
+    CORRECTNESS check (the driver verifies at most the first 50).  Queries
+    that were consolidated or are quadratic verify-paths live in
+    extra_queries() and are oracle-checked by the local bit-faithful mirror
+    (tests/test_entry_contract.py).  Ordered with the queries that lacked a
+    driver row in round 2 first, defensively."""
     return {
-        "iri_resolve_rfc3986": q_iri_resolve,
-        "iri_normalize_rfc3986": q_iri_normalize,
-        "iri_to_uri_rfc3987": q_iri_to_uri,
-        "uri_to_iri_rfc3987": q_uri_to_iri,
-        "iri_relativize": q_iri_relativize,
-        "langtag_normalize_rfc5646": q_langtag_normalize,
-        "langtag_parse_rfc5646": q_langtag_parse,
-        "iri_parse_wellformed": q_iri_parse_wellformed,
-        "iri_reject_invalid": q_iri_reject_invalid,
-        "langtag_reject_invalid": q_langtag_reject_invalid,
-        "langtag_extlang_form": q_langtag_extlang_form,
+        # --- no driver row in CORRECTNESS_r02 (tail of the old 64) ---
+        "text_features": q_text_features,
+        "lang_id": q_lang_id,
+        "similarity_suite": q_similarity_suite,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "multimodal_features": q_multimodal_features,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "region_revenue": q_region_revenue,
+        "events_hourly": q_events_hourly,
+        "events_sessionized": q_events_sessionized,
+        "events_sessionized_stream": q_events_sessionized_stream,
+        # --- KG pipeline + SPARQL surface ---
         "kg_doc_triples": q_kg_doc_triples,
         "kg_predicate_stats": q_kg_predicate_stats,
-        "kg_bgp_provider": q_kg_bgp_provider,
         "kg_sparql_bgp": q_kg_sparql_bgp,
         "kg_sparql_optional": q_kg_sparql_optional,
-        "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_agg_having": q_kg_sparql_having,
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_minus_values": q_kg_sparql_minus_values,
         "kg_sparql_exists": q_kg_sparql_exists,
-        "kg_sparql_having": q_kg_sparql_having,
-        "kg_sparql_bind": q_kg_sparql_bind,
-        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_bind_subquery": q_kg_sparql_bind_subquery,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_rdfstar_reify": q_kg_rdfstar_reify,
@@ -1695,31 +1947,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_diff": q_kg_triple_diff,
         "kg_full_pipeline": q_kg_full_pipeline,
         "events_salted_counts": q_events_salted_counts,
+        # --- LLM-data ops (scale paths only; quadratic verify paths are
+        #     test-side oracles in extra_queries) ---
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "sample_deterministic": q_sample_deterministic,
-        "sample_stratified": q_sample_stratified,
+        "dedup_simhash": q_dedup_simhash,
+        "sample_suite": q_sample_suite,
         "text_top_ngrams": q_text_top_ngrams,
         "embedding_centroids": q_embedding_centroids,
-        "dedup_simhash": q_dedup_simhash,
+        # --- RFC conformance (green in r01 AND r02; consolidated) ---
+        "iri_conformance": q_iri_conformance,
+        "langtag_conformance": q_langtag_conformance,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked locally (tests/test_entry_contract.py runs the same
+    bit-faithful canonicalization as the driver) but kept out of the
+    driver's 50-query window: the per-vector conformance queries now
+    consolidated into {iri,langtag}_conformance, the single-purpose SPARQL
+    queries consolidated into agg_having / bind_subquery, and the
+    deliberately-quadratic verify twins of the LSH scale paths."""
+    return {
+        "iri_resolve_rfc3986": q_iri_resolve,
+        "iri_normalize_rfc3986": q_iri_normalize,
+        "iri_to_uri_rfc3987": q_iri_to_uri,
+        "uri_to_iri_rfc3987": q_uri_to_iri,
+        "iri_relativize": q_iri_relativize,
+        "langtag_normalize_rfc5646": q_langtag_normalize,
+        "langtag_parse_rfc5646": q_langtag_parse,
+        "iri_parse_wellformed": q_iri_parse_wellformed,
+        "iri_reject_invalid": q_iri_reject_invalid,
+        "langtag_reject_invalid": q_langtag_reject_invalid,
+        "langtag_extlang_form": q_langtag_extlang_form,
+        "kg_bgp_provider": q_kg_bgp_provider,
+        "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_having": q_kg_sparql_having,
+        "kg_sparql_bind": q_kg_sparql_bind,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
-        "lang_id": q_lang_id,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh": q_similarity_ann_lsh,
-        "similarity_ann_ivf": q_similarity_ann_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "multimodal_features": q_multimodal_features,
-        "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "region_revenue": q_region_revenue,
-        "events_hourly": q_events_hourly,
-        "events_sessionized": q_events_sessionized,
-        "events_sessionized_stream": q_events_sessionized_stream,
     }
 
 
@@ -1755,33 +2030,28 @@ def _extlang_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "iri_resolve_rfc3986": _values_sql(_iri_resolve_vectors(), ("rel", "resolved")),
-        "iri_normalize_rfc3986": _values_sql(_iri_normalize_vectors(), ("input", "normalized")),
-        "iri_to_uri_rfc3987": _values_sql(_iri_to_uri_vectors(), ("input", "uri")),
-        "uri_to_iri_rfc3987": _values_sql(_uri_to_iri_vectors(), ("input", "iri")),
-        "iri_relativize": _values_sql(_relativize_vectors(), ("base", "target", "rel")),
-        "langtag_normalize_rfc5646": _values_sql(_langtag_vectors(), ("tag", "canonical")),
-        "langtag_parse_rfc5646": _values_sql(_langtag_parse_vectors(), ("tag", "wellformed")),
-        "iri_parse_wellformed": _iri_parse_wellformed_oracle(),
-        "iri_reject_invalid": _reject_oracle_iri(),
-        "langtag_reject_invalid": _reject_oracle_langtag(),
-        "langtag_extlang_form": _extlang_oracle(),
-        "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
-        "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,
-        "events_salted_counts": _EVENTS_SALTED_ORACLE,
+        "text_features": _text_features_oracle(),
+        "similarity_suite": _similarity_suite_oracle(),
+        "multimodal_features": _values_sql(
+            _multimodal_expected_rows(),
+            ("media_id", "kind", "n_dims", "feature_digest", "decode_error"),
+        ),
+        "pricing_summary": _PRICING_SUMMARY_ORACLE,
+        "top_orders": _TOP_ORDERS_ORACLE,
+        "region_revenue": _REGION_REVENUE_ORACLE,
+        "events_hourly": _EVENTS_HOURLY_ORACLE,
+        "events_sessionized": _EVENTS_SESSION_ORACLE,
+        "events_sessionized_stream": _EVENTS_SESSION_STREAM_ORACLE,
         "kg_doc_triples": _KG_TRIPLES_ORACLE,
         "kg_predicate_stats": _KG_PRED_STATS_ORACLE,
-        "kg_bgp_provider": _KG_BGP_ORACLE,
         "kg_sparql_bgp": _KG_BGP_ORACLE,
         "kg_sparql_optional": _KG_SPARQL_OPTIONAL_ORACLE,
-        "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
+        "kg_sparql_agg_having": _KG_SPARQL_HAVING_ORACLE,
         "kg_sparql_union": _KG_SPARQL_UNION_ORACLE,
         "kg_sparql_path": f"SELECT DISTINCT doc, org_name FROM ({_KG_BGP_ORACLE}) b",
         "kg_sparql_minus_values": _KG_SPARQL_MINUS_VALUES_ORACLE,
         "kg_sparql_exists": _KG_SPARQL_EXISTS_ORACLE,
-        "kg_sparql_having": _KG_SPARQL_HAVING_ORACLE,
-        "kg_sparql_bind": _KG_SPARQL_BIND_ORACLE,
-        "kg_sparql_subquery": _KG_SPARQL_SUBQUERY_ORACLE,
+        "kg_sparql_bind_subquery": _KG_SPARQL_BIND_SUBQUERY_ORACLE,
         "kg_sparql_ask": _KG_SPARQL_ASK_ORACLE,
         "kg_sparql_construct": _KG_SPARQL_CONSTRUCT_ORACLE,
         "kg_rdfstar_reify": _KG_RDFSTAR_ORACLE,
@@ -1794,39 +2064,56 @@ def oracle_sql() -> dict[str, str]:
         "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
-        "dedup_exact": _DEDUP_EXACT_ORACLE,
-        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
+        "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,
         "kg_full_pipeline": _kg_full_pipeline_oracle(),
+        "events_salted_counts": _EVENTS_SALTED_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
         # minhash-LSH candidates are exact-Jaccard-verified and recall is 1.0
         # on this corpus, so the exact pairwise oracle is the right check
         "dedup_minhash_lsh": f"SELECT a, b FROM ({_NGRAM_JACCARD_ORACLE}) pairs",
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
-        "sample_deterministic": _SAMPLE_DET_ORACLE,
-        "sample_stratified": _SAMPLE_STRAT_ORACLE,
+        "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
+        "sample_suite": _sample_suite_oracle(),
         "text_top_ngrams": _TOP_NGRAMS_ORACLE,
         "embedding_centroids": _EMB_CENTROIDS_ORACLE,
-        "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
-        "similarity_ann_lsh": _ann_lsh_oracle(),
-        # similarity_ann_ivf stays rows-only: this corpus is unclustered, so
-        # the true top-10 straddle >n_probe cells — IVF recall < 1 is the
-        # honest semantics, verified against exact recall bounds in tests/
-        "multimodal_features": _values_sql(
-            _multimodal_expected_rows(),
-            ("media_id", "kind", "n_dims", "feature_digest", "decode_error"),
-        ),
-        "text_token_count": _TOKEN_COUNT_ORACLE,
-        "text_quality": _TEXT_QUALITY_ORACLE,
-        "doc_fingerprint": _FINGERPRINT_ORACLE,
-        "similarity_topk": _SIMILARITY_TOPK_ORACLE,
-        "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
-        "pricing_summary": _PRICING_SUMMARY_ORACLE,
-        "top_orders": _TOP_ORDERS_ORACLE,
-        "region_revenue": _REGION_REVENUE_ORACLE,
-        "events_hourly": _EVENTS_HOURLY_ORACLE,
-        "events_sessionized": _EVENTS_SESSION_ORACLE,
-        "events_sessionized_stream": _EVENTS_SESSION_STREAM_ORACLE,
+        "iri_conformance": _iri_conformance_oracle(),
+        "langtag_conformance": _langtag_conformance_oracle(),
         # rows-only (approximate / no meaningful oracle):
         # lang_id (corpus labels are label⟂text noise — see textstats.lang_id),
         # similarity_ann_ivf (unclustered corpus: IVF recall <1 is the
-        # honest semantics; recall bounds asserted in tests/)
+        # honest semantics; recall bounds asserted in tests/),
+        # embedding_near_dup_lsh (lossy across hyperplane boundaries; recall
+        # vs the exact path asserted in tests/)
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for extra_queries() — exercised by the local mirror only."""
+    return {
+        "iri_resolve_rfc3986": _values_sql(_iri_resolve_vectors(), ("rel", "resolved")),
+        "iri_normalize_rfc3986": _values_sql(_iri_normalize_vectors(), ("input", "normalized")),
+        "iri_to_uri_rfc3987": _values_sql(_iri_to_uri_vectors(), ("input", "uri")),
+        "uri_to_iri_rfc3987": _values_sql(_uri_to_iri_vectors(), ("input", "iri")),
+        "iri_relativize": _values_sql(_relativize_vectors(), ("base", "target", "rel")),
+        "langtag_normalize_rfc5646": _values_sql(_langtag_vectors(), ("tag", "canonical")),
+        "langtag_parse_rfc5646": _values_sql(_langtag_parse_vectors(), ("tag", "wellformed")),
+        "iri_parse_wellformed": _iri_parse_wellformed_oracle(),
+        "iri_reject_invalid": _reject_oracle_iri(),
+        "langtag_reject_invalid": _reject_oracle_langtag(),
+        "langtag_extlang_form": _extlang_oracle(),
+        "kg_bgp_provider": _KG_BGP_ORACLE,
+        "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
+        "kg_sparql_having": _KG_SPARQL_HAVING_ORACLE,
+        "kg_sparql_bind": _KG_SPARQL_BIND_ORACLE,
+        "kg_sparql_subquery": _KG_SPARQL_SUBQUERY_ORACLE,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
+        "similarity_topk": _SIMILARITY_TOPK_ORACLE,
+        "similarity_ann_lsh": _ann_lsh_oracle(),
+        "sample_deterministic": _SAMPLE_DET_ORACLE,
+        "sample_stratified": _SAMPLE_STRAT_ORACLE,
+        "text_token_count": _TOKEN_COUNT_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "doc_fingerprint": _FINGERPRINT_ORACLE,
     }

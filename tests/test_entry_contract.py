@@ -79,15 +79,36 @@ def _assert_canon_equal(name: str, got: pd.DataFrame, want: pd.DataFrame):
             )
 
 
+def _all_queries():
+    return {**entry_mod.queries(), **entry_mod.extra_queries()}
+
+
+def _all_oracles():
+    return {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_driver_window_fits():
+    """The driver verifies at most the FIRST 50 registered queries (round 2
+    lost 14 tail rows to this) — the registered set must fit entirely."""
+    assert len(entry_mod.queries()) <= 50
+
+
+def test_every_registered_query_has_an_oracle_or_reason():
+    # rows-only queries are the documented exceptions
+    rows_only = {"lang_id", "similarity_ann_ivf", "embedding_near_dup_lsh"}
+    missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql()) - rows_only
+    assert not missing, f"queries without oracle or documented reason: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_all_oracles().keys()))
 def test_query_vs_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    q = _all_queries()[name]
+    oracle = _all_oracles()[name]
     got = _canon(q(spark, SF_DIR).toPandas())
     want = _canon(duck.sql(oracle).df())
     _assert_canon_equal(name, got, want)

@@ -291,6 +291,42 @@ def test_property_path_plus_transitive(spark, chain):
     assert [r["x"] for r in df.collect()] == [f"http://n/{i}" for i in range(1, 6)]
 
 
+def test_repeated_variable_pattern(spark):
+    """'?x <p> ?x' is legal SPARQL: compiles to one alias + an equality
+    constraint, and a literal object whose lexical form equals the subject
+    IRI is NOT a match (same-term, not same-string, semantics)."""
+    rows = [
+        ("http://x/loop", "http://p/self", "http://x/loop", "iri", None, None),
+        ("http://x/a", "http://p/self", "http://x/b", "iri", None, None),
+        # lexical collision with a literal: must not count as a self-loop
+        ("http://x/lit", "http://p/self", "http://x/lit", "literal",
+         None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, "SELECT ?x WHERE { ?x <http://p/self> ?x . }")
+    assert [r["x"] for r in df.collect()] == ["http://x/loop"]
+
+
+def test_repeated_variable_in_path_pattern(spark, chain):
+    df = query(chain, "SELECT ?x WHERE { ?x <http://p/next>+ ?x . }")
+    assert df.collect() == []  # the chain is acyclic
+
+
+def test_property_path_plus_long_chain_no_cap(spark):
+    """A 120-hop chain: the old closure loop capped at 25 rounds and
+    silently truncated; recursive doubling must return the full closure
+    (and in ~ceil(log2(120)) = 7 join rounds, not 120)."""
+    n = 120
+    rows = [(f"http://c/{i}", "http://p/next", f"http://c/{i+1}", "iri",
+             None, None) for i in range(n)]
+    long_chain = spark.createDataFrame(rows, COLS)
+    df = query(long_chain, """
+        SELECT ?x WHERE { <http://c/0> <http://p/next>+ ?x . }
+    """)
+    assert {r["x"] for r in df.collect()} == {
+        f"http://c/{i}" for i in range(1, n + 1)}
+
+
 def test_property_path_star_includes_identity(spark, chain):
     df = query(chain, """
         SELECT ?x WHERE { <http://n/2> <http://p/next>* ?x . } ORDER BY ?x

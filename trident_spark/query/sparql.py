@@ -568,20 +568,24 @@ def _compile_path(triples: DataFrame, node: tuple,
         base = _compile_path(triples, node[1], prefixes)
         return base.union(_graph_nodes(triples)).distinct()
     if kind in ("plus", "star"):
-        base = _compile_path(triples, node[1], prefixes).localCheckpoint(
-            eager=True)
-        paths, frontier = base, base
-        for _ in range(25):  # fixpoint: bounded by graph diameter
+        # Transitive closure by recursive doubling: composing the closure-
+        # so-far with itself doubles the maximum covered path length each
+        # round, so a diameter-D graph converges in ceil(log2(D)) joins —
+        # and the loop runs to a true fixpoint with NO round cap (a capped
+        # loop silently truncates long chains).  Each round is one equi-join
+        # shuffle on the mid node + a distinct, both checkpoint-bounded.
+        paths = _compile_path(triples, node[1], prefixes).distinct() \
+            .localCheckpoint(eager=True)
+        while True:
             step = (
-                frontier.withColumnRenamed("_po", "_mid")
-                .join(base.withColumnRenamed("_ps", "_mid"), "_mid")
+                paths.withColumnRenamed("_po", "_mid")
+                .join(paths.withColumnRenamed("_ps", "_mid"), "_mid")
                 .select("_ps", "_po")
             )
             new = step.subtract(paths)
             if not new.take(1):
                 break
             paths = paths.union(new).distinct().localCheckpoint(eager=True)
-            frontier = new
         if kind == "star":
             paths = paths.union(_graph_nodes(triples)).distinct()
         return paths
@@ -613,6 +617,26 @@ def _escape_nt(s: str) -> str:
                  ("\r", "\\r"), ("\t", "\\t")):
         s = s.replace(a, b)
     return s
+
+
+def _dedupe_repeated_vars(scan: DataFrame, rename: dict[str, str],
+                          exprs: dict | None = None
+                          ) -> tuple[DataFrame, dict[str, str]]:
+    """A legal pattern may repeat a variable ('?x <p> ?x', or a quoted-
+    triple slot sharing an outer var): keep ONE source column per variable
+    and compile the repeats into equality constraints — two identically-
+    aliased projections would be an AMBIGUOUS_REFERENCE at join time."""
+    first: dict[str, str] = {}
+    out: dict[str, str] = {}
+    for col, var in rename.items():
+        if var in first:
+            a = exprs[first[var]] if exprs else F.col(first[var])
+            b = exprs[col] if exprs else F.col(col)
+            scan = scan.where(a == b)
+        else:
+            first[var] = col
+            out[col] = var
+    return scan, out
 
 
 def _compile_quoted(triples: DataFrame, pat: _Pattern,
@@ -668,6 +692,7 @@ def _compile_quoted(triples: DataFrame, pat: _Pattern,
         rename.update(extra)
     cols = dict(subj=F.col("subj"), pred=F.col("pred"),
                 graph=F.col("graph") if extra else F.lit(None), **proj_cols)
+    scan, rename = _dedupe_repeated_vars(scan, rename, exprs=cols)
     proj = [cols[c].alias(v) for c, v in rename.items()]
     if proj:
         scan = scan.select(*proj).distinct()
@@ -700,12 +725,14 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
                 scan = scan.where(F.col(col) == value)
             else:
                 scan = scan.where(F.col(col) == _expand(term, prefixes))
+        out_vars = set(rename.values())
+        scan, rename = _dedupe_repeated_vars(scan, rename)
         proj = [F.col(c).alias(v) for c, v in rename.items()]
         if proj:
             scan = scan.select(*proj).distinct()
         else:
             scan = scan.select(F.lit(1).alias(f"_m{idx}")).limit(1)
-        return scan, set(rename.values())
+        return scan, out_vars
 
     scan = triples
     rename: dict[str, str] = {}
@@ -728,6 +755,14 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
     if extra:
         rename.update(extra)  # GRAPH ?var: carry the graph term binding
     out_vars = set(rename.values())
+    # a repeated var must match the same RDF TERM: a literal object never
+    # equals an IRI/blank subject even when the lexical forms coincide
+    scan, rename = _dedupe_repeated_vars(scan, rename, exprs={
+        "subj": F.col("subj"), "pred": F.col("pred"),
+        "obj_lexical": F.when(F.col("obj_kind") != "literal",
+                              F.col("obj_lexical")),
+        "graph": F.col("graph"),
+    })
     if meta and pat.obj in {f"?{v}" for v in meta}:
         # LANG()/DATATYPE()/isIRI()-family filters need the term's metadata
         # alongside the lexical binding — hidden _lang_/_dt_/_kind_ columns
