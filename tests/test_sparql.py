@@ -291,6 +291,41 @@ def test_property_path_plus_transitive(spark, chain):
     assert [r["x"] for r in df.collect()] == [f"http://n/{i}" for i in range(1, 6)]
 
 
+def test_delete_where_literal_with_iri_lexical_collision(spark):
+    """DELETE of a literal triple whose lexical form also occurs as an IRI
+    elsewhere: the matched solution's OWN kind must drive the anti-join —
+    the graph-wide dictionary would say 'iri' and silently miss the row."""
+    from trident_spark.query.sparql import update
+
+    rows = [
+        ("http://x/a", "http://p/v", "http://x/o", "iri", None, None),
+        ("http://x/b", "http://p/w", "http://x/o", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    out = update(
+        g, "DELETE { ?s <http://p/w> ?o } WHERE { ?s <http://p/w> ?o }")
+    got = {(r["subj"], r["pred"], r["obj_lexical"], r["obj_kind"])
+           for r in out.collect()}
+    assert got == {("http://x/a", "http://p/v", "http://x/o", "iri")}
+
+
+def test_construct_object_kind_from_solution(spark):
+    """CONSTRUCT copying a variable object keeps the matched term's kind
+    even when the lexical form is an IRI elsewhere in the graph."""
+    from trident_spark.query.sparql import construct
+
+    rows = [
+        ("http://x/a", "http://p/v", "http://x/o", "iri", None, None),
+        ("http://x/b", "http://p/w", "http://x/o", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    out = construct(
+        g, "CONSTRUCT { ?s <http://p/new> ?o } WHERE { ?s <http://p/w> ?o }")
+    got = {(r["subj"], r["pred"], r["obj_lexical"], r["obj_kind"])
+           for r in out.collect()}
+    assert got == {("http://x/b", "http://p/new", "http://x/o", "literal")}
+
+
 def test_repeated_variable_pattern(spark):
     """'?x <p> ?x' is legal SPARQL: compiles to one alias + an equality
     constraint, and a literal object whose lexical form equals the subject

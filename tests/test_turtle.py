@@ -121,6 +121,56 @@ def test_nquads_roundtrip_with_blank_and_default_graph(spark):
     assert got == {tuple(r) for r in rows}
 
 
+def test_nquads_blank_labels_with_underscore_dash_dot(spark):
+    """Labels the Turtle tokenizer itself produces ('_' '-' '.') must
+    survive an N-Quads round-trip — the old regex silently dropped them."""
+    from trident_spark.pipeline.sinks import from_nquads, to_nquads
+
+    cols = ("subj string, pred string, obj_lexical string, obj_kind string, "
+            "obj_datatype string, obj_lang string, graph string")
+    rows = [
+        ("_:b_1", "http://x/p", "_:gen-2", "blank", None, None, None),
+        ("_:r4ffe.5", "http://x/p", "v", "literal", None, None, "http://g/1"),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    back = from_nquads(to_nquads(df, graph_col="graph"))
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in rows}
+
+
+def test_from_nquads_error_channel(spark):
+    """Unparseable lines are never silently dropped: strict mode raises,
+    column mode quarantines the raw line."""
+    import pytest as _pytest
+
+    from trident_spark.pipeline.sinks import from_nquads
+
+    lines = spark.createDataFrame(
+        [("<http://x/s> <http://x/p> \"ok\" .",),
+         ("this is not n-quads",),
+         ("",)],
+        "line string",
+    )
+    with _pytest.raises(Exception, match="unparseable N-Quads line"):
+        from_nquads(lines).collect()
+    got = from_nquads(lines, errors="column").collect()
+    assert len(got) == 2  # blank line skipped
+    good = [r for r in got if r["error"] is None]
+    bad = [r for r in got if r["error"] is not None]
+    assert len(good) == 1 and good[0]["obj_lexical"] == "ok"
+    assert len(bad) == 1 and bad[0]["error"] == "this is not n-quads"
+    assert bad[0]["subj"] is None
+
+
+def test_turtle_numeric_escapes():
+    from trident_spark.pipeline.turtle import TurtleError, parse_turtle
+
+    got = parse_turtle(
+        '<http://x/s> <http://x/p> "caf\\u00E9 \\U0001F600 \\b" .')
+    assert got[0][2] == "café \U0001F600 \b"
+    with pytest.raises(TurtleError, match="unsupported escape"):
+        parse_turtle('<http://x/s> <http://x/p> "bad \\q" .')
+
+
 # ---------------------------------------------------------------------------
 # RDF 1.2 triple terms in Turtle (object position)
 # ---------------------------------------------------------------------------

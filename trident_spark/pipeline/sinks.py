@@ -102,19 +102,44 @@ def to_nquads(skolemized: DataFrame, graph_col: str = "url") -> DataFrame:
     )
 
 
-def from_nquads(lines: DataFrame) -> DataFrame:
-    """lines(line string) → parsed quads (graph NULL for triple lines)."""
+def from_nquads(lines: DataFrame, errors: str = "strict") -> DataFrame:
+    """lines(line string) → parsed quads (graph NULL for triple lines).
+
+    Unparseable lines are never silently dropped:
+
+    - ``errors="strict"`` (default): raise ValueError on the first bad
+      line — the parser contract, matching turtle.py's TurtleError.
+    - ``errors="column"``: the 100 TB quarantine path — bad lines come
+      back with NULL term columns and the raw line in an ``error``
+      column, so one hostile shard cannot kill a cluster-wide ingest;
+      filter/route on ``error IS NOT NULL``.
+    """
+    if errors not in ("strict", "column"):
+        raise ValueError(f"errors must be 'strict' or 'column': {errors!r}")
+    quarantine = errors == "column"
 
     def run(iterator):
         for pdf in iterator:
-            rows = [r for r in (parse_nquads_line(l) for l in pdf["line"]) if r]
+            rows = []
+            for line in pdf["line"]:
+                if not line.strip():
+                    continue  # blank lines are legal separators
+                parsed = parse_nquads_line(line)
+                if parsed is not None:
+                    rows.append(parsed + (None,))
+                elif quarantine:
+                    rows.append((None,) * 7 + (line,))
+                else:
+                    raise ValueError(f"unparseable N-Quads line: {line!r}")
             yield pd.DataFrame(
                 rows,
                 columns=["subj", "pred", "obj_lexical", "obj_kind",
-                         "obj_datatype", "obj_lang", "graph"],
+                         "obj_datatype", "obj_lang", "graph", "error"],
             )
 
-    return lines.mapInPandas(run, NT_PARSED_SCHEMA + ", graph string")
+    out = lines.mapInPandas(
+        run, NT_PARSED_SCHEMA + ", graph string, error string")
+    return out if quarantine else out.drop("error")
 
 
 # ---------------------------------------------------------------------------
@@ -184,10 +209,16 @@ def turtle_header(prefixes: dict[str, str] | None = None) -> str:
 # Parser (round-trip oracle)
 # ---------------------------------------------------------------------------
 
+# BLANK_NODE_LABEL per the N-Triples grammar: starts with PN_CHARS_U or a
+# digit, may contain '.' internally, must not end with '.' (the statement
+# terminator).  The old [A-Za-z0-9]+ silently rejected '_'/'-' labels that
+# the Turtle tokenizer itself accepts.
+_BLANK_LABEL = r"_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?"
+
 _NT_LINE = re.compile(
-    r"^(?:<(?P<s>[^>]*)>|(?P<s_blank>_:[A-Za-z0-9]+)) <(?P<p>[^>]*)> "
+    r"^(?:<(?P<s>[^>]*)>|(?P<s_blank>" + _BLANK_LABEL + r")) <(?P<p>[^>]*)> "
     r"(?:<(?P<o_iri>[^>]*)>"
-    r"|(?P<o_blank>_:[A-Za-z0-9]+)"
+    r"|(?P<o_blank>" + _BLANK_LABEL + r")"
     r'|"(?P<o_lit>(?:[^"\\]|\\.)*)"'
     r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)"
     r"(?: <(?P<g>[^>]*)>)?"  # optional named graph → N-Quads
@@ -201,7 +232,7 @@ _UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
 # the canonical lexical form.  Greedy .* lands on the LAST ')>>' so nested
 # terms stay inside the object and a trailing graph IRI is not swallowed.
 _TT_LINE = re.compile(
-    r"^(?:<(?P<s>[^>]*)>|(?P<s_blank>_:[A-Za-z0-9]+)) <(?P<p>[^>]*)> "
+    r"^(?:<(?P<s>[^>]*)>|(?P<s_blank>" + _BLANK_LABEL + r")) <(?P<p>[^>]*)> "
     r"(?P<tt><<\(.*\)>>)"
     r"(?: <(?P<g>[^>]*)>)?"
     r" \.$"
@@ -247,16 +278,32 @@ NT_PARSED_SCHEMA = (
 )
 
 
-def from_ntriples(lines: DataFrame) -> DataFrame:
-    """lines(line string) → parsed triples (malformed lines dropped)."""
+def from_ntriples(lines: DataFrame, errors: str = "strict") -> DataFrame:
+    """lines(line string) → parsed triples.  Same error contract as
+    :func:`from_nquads` (strict raise / ``error`` quarantine column); quad
+    lines are malformed here (strict N-Triples)."""
+    if errors not in ("strict", "column"):
+        raise ValueError(f"errors must be 'strict' or 'column': {errors!r}")
+    quarantine = errors == "column"
 
     def run(iterator):
         for pdf in iterator:
-            rows = [r for r in (parse_ntriples_line(l) for l in pdf["line"]) if r]
+            rows = []
+            for line in pdf["line"]:
+                if not line.strip():
+                    continue
+                parsed = parse_ntriples_line(line)
+                if parsed is not None:
+                    rows.append(parsed + (None,))
+                elif quarantine:
+                    rows.append((None,) * 6 + (line,))
+                else:
+                    raise ValueError(f"unparseable N-Triples line: {line!r}")
             yield pd.DataFrame(
                 rows,
                 columns=["subj", "pred", "obj_lexical", "obj_kind",
-                         "obj_datatype", "obj_lang"],
+                         "obj_datatype", "obj_lang", "error"],
             )
 
-    return lines.mapInPandas(run, NT_PARSED_SCHEMA)
+    out = lines.mapInPandas(run, NT_PARSED_SCHEMA + ", error string")
+    return out if quarantine else out.drop("error")

@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(
     | "(?:[^"\\]|\\.)*"                                 # string literal
     | @[A-Za-z][A-Za-z0-9\-]*                           # @prefix/@base/@lang
     | \^\^                                              # datatype marker
-    | _:[A-Za-z0-9_]+                                   # blank node label
+    | _:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])? # blank node label
     | [A-Za-z_][\w\-]*:[\w\-.%]*                        # prefixed name ns:local
     | :[\w\-.%]*                                        # default-ns pname
     | [A-Za-z_][\w\-]*                                  # bare word (a, true, PREFIX)
@@ -62,8 +62,23 @@ _TOKEN_RE = re.compile(
 
 _COMMENT_SAFE = re.compile(r'(<[^>]*>|"(?:[^"\\]|\\.)*")|#[^\n]*')
 
-_UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
-_UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
+_UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r",
+             "\\t": "\t", "\\b": "\b", "\\f": "\f", "\\'": "'"}
+# one pass over ALL escape sequences: named, numeric (\uXXXX/\UXXXXXXXX),
+# and anything else (rejected loudly — a skipped escape would silently
+# keep the raw backslash text in the literal)
+_UNESCAPE_RE = re.compile(
+    r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\.")
+
+
+def _unescape_one(m: re.Match) -> str:
+    tok = m.group(0)
+    if tok[1] in "uU":
+        return chr(int(tok[2:], 16))
+    try:
+        return _UNESCAPE[tok]
+    except KeyError:
+        raise TurtleError(f"unsupported escape sequence {tok!r}") from None
 
 
 def _strip_comments(text: str) -> str:
@@ -188,7 +203,7 @@ class _Parser:
         if tok.startswith("_:"):
             return tok, "blank", None, None
         if tok.startswith('"'):
-            lex = _UNESCAPE_RE.sub(lambda m: _UNESCAPE[m.group(0)], tok[1:-1])
+            lex = _UNESCAPE_RE.sub(_unescape_one, tok[1:-1])
             nxt = self._peek()
             if nxt is not None and nxt.startswith("@"):
                 return lex, "literal", None, self._next()[1:]

@@ -595,9 +595,11 @@ def _compile_path(triples: DataFrame, node: tuple,
 # quoted-triple component extraction (pure Catalyst regexp over the stored
 # canonical <<( s p o )>> form — see pipeline/rdfstar.py for the writer)
 _Q_SUBJ_IRI = r"^<<\( <([^>]*)> "
-_Q_SUBJ_BLANK = r"^<<\( (_:[A-Za-z0-9]+) "
-_Q_PRED = r"^<<\( (?:<[^>]*>|_:[A-Za-z0-9]+) <([^>]*)> "
-_Q_OBJ = r"^<<\( (?:<[^>]*>|_:[A-Za-z0-9]+) <[^>]*> (.*) \)>>$"
+# blank-node labels may contain '_' '-' '.' (N-Triples grammar; keep in
+# sync with pipeline/sinks.py:_BLANK_LABEL)
+_Q_SUBJ_BLANK = r"^<<\( (_:[A-Za-z0-9_.\-]+) "
+_Q_PRED = r"^<<\( (?:<[^>]*>|_:[A-Za-z0-9_.\-]+) <([^>]*)> "
+_Q_OBJ = r"^<<\( (?:<[^>]*>|_:[A-Za-z0-9_.\-]+) <[^>]*> (.*) \)>>$"
 
 
 def _unescape_nt_col(col):
@@ -880,26 +882,36 @@ def _meta_vars(elements: list) -> set[str]:
 def _compile_group(triples: DataFrame, group: _Group,
                    prefixes: dict[str, str],
                    quads: DataFrame | None = None,
-                   extra: dict[str, str] | None = None
+                   extra: dict[str, str] | None = None,
+                   want_meta: set[str] | None = None
                    ) -> tuple[DataFrame, set[str]]:
     plan: DataFrame | None = None
     bound: set[str] = set()
     filters: list[list[str]] = []
     exists: list[tuple[bool, _Group]] = []
-    meta = _meta_vars(group.elements)
+    # filter-driven metadata vars (LANG/DATATYPE — ambiguity is an error)
+    # plus soft requests from CONSTRUCT/UPDATE templates (the solution's
+    # own term kind; on multiple object-position bindings the first wins)
+    meta_filter = _meta_vars(group.elements)
+    meta = meta_filter | (want_meta or set())
     meta_provided: set[str] = set()
     for idx, el in enumerate(_reorder_group(group.elements)):
         if isinstance(el, _Pattern):
+            pat_meta = meta
             if meta and not isinstance(el.obj, _Quoted) \
                     and el.obj.startswith("?") and el.obj[1:] in meta:
                 v = el.obj[1:]
                 if v in meta_provided:
-                    raise SparqlError(
-                        f"LANG/DATATYPE(?{v}) is ambiguous: ?{v} is bound "
-                        "in object position by more than one pattern")
-                meta_provided.add(v)
+                    if v in meta_filter:
+                        raise SparqlError(
+                            f"LANG/DATATYPE(?{v}) is ambiguous: ?{v} is "
+                            "bound in object position by more than one "
+                            "pattern")
+                    pat_meta = meta - {v}
+                else:
+                    meta_provided.add(v)
             scan, vars_ = _compile_pattern(triples, el, prefixes, idx, extra,
-                                           meta)
+                                           pat_meta)
             how = "inner"
         elif el[0] == "filter":
             filters.append(el[1])
@@ -1366,15 +1378,32 @@ def construct(triples: DataFrame, sparql: str) -> DataFrame:
     if toks[j:]:
         raise SparqlError(
             f"unexpected token after CONSTRUCT WHERE: {toks[j]!r}")
-    plan, bound = _compile_group(triples, group, prefixes)
+    plan, bound = _compile_group(triples, group, prefixes,
+                                 want_meta=_template_obj_vars(template))
     return _instantiate(triples, template, plan, bound, prefixes)
+
+
+def _template_obj_vars(template: list | None) -> set[str]:
+    """Variables in template OBJECT position: their solutions must carry
+    the matched term's own kind (hidden _kind_ column) so instantiation
+    does not mis-kind a literal whose lexical form also occurs as an IRI
+    elsewhere in the graph."""
+    if not template:
+        return set()
+    return {p.obj[1:] for p in template
+            if isinstance(p.obj, str) and p.obj.startswith("?")}
 
 
 def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
                  bound: set[str], prefixes: dict[str, str]) -> DataFrame:
     """Template triple patterns × solution multiset → lexical triples
     (subj, pred, obj_lexical, obj_kind).  Shared by CONSTRUCT and the
-    UPDATE forms."""
+    UPDATE forms.
+
+    Object-variable kinds come from the matched solution's own hidden
+    _kind_ column whenever the WHERE group provided one; the graph-wide
+    term→kind dictionary is only the fallback (vars bound in subject
+    position or inside UNION/OPTIONAL sub-groups)."""
     # term → kind dictionary (iri beats literal when a lexical form is both)
     kind_rank = F.when(F.col("obj_kind") == "iri", 0) \
                  .when(F.col("obj_kind") == "blank", 1).otherwise(2)
@@ -1407,11 +1436,16 @@ def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
         s_col, _ = term_col(pat.subj)
         p_col, _ = term_col(pat.pred)
         o_col, o_kind = term_col(pat.obj)
-        row = plan.select(s_col.alias("subj"), p_col.alias("pred"),
-                          o_col.alias("obj_lexical"))
+        if o_kind is None and pat.obj.startswith("?") \
+                and f"_kind_{pat.obj[1:]}" in plan.columns:
+            o_kind = F.col(f"_kind_{pat.obj[1:]}")
         if o_kind is not None:
-            row = row.withColumn("obj_kind", o_kind)
+            row = plan.select(s_col.alias("subj"), p_col.alias("pred"),
+                              o_col.alias("obj_lexical"),
+                              o_kind.alias("obj_kind"))
         else:
+            row = plan.select(s_col.alias("subj"), p_col.alias("pred"),
+                              o_col.alias("obj_lexical"))
             # NOT broadcast: the term dictionary is O(graph); equi-join and
             # let AQE choose (it broadcasts automatically on small graphs)
             row = (
@@ -1517,7 +1551,8 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
         if len(template) != len(group.elements) or not template:
             raise SparqlError(
                 "DELETE WHERE group must be plain triple patterns")
-        plan, bound = _compile_group(triples, group, prefixes)
+        plan, bound = _compile_group(triples, group, prefixes,
+                                     want_meta=_template_obj_vars(template))
         matched = _instantiate(triples, template, plan, bound, prefixes)
         return apply(matched, None)
 
@@ -1551,7 +1586,9 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
     group, j = _parse_group(toks, i + 2)
     if toks[j:]:
         raise SparqlError(f"unexpected token after WHERE: {toks[j]!r}")
-    plan, bound = _compile_group(triples, group, prefixes)
+    plan, bound = _compile_group(
+        triples, group, prefixes,
+        want_meta=_template_obj_vars(del_tmpl) | _template_obj_vars(ins_tmpl))
     delete_df = (_instantiate(triples, del_tmpl, plan, bound, prefixes)
                  if del_tmpl else None)
     insert_df = (_instantiate(triples, ins_tmpl, plan, bound, prefixes)
