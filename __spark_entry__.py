@@ -871,15 +871,41 @@ SELECT DISTINCT subj, pred, obj_lexical, obj_kind FROM t
 """
 
 
+# fixed Turtle doc exercising [...] property lists and (...) collections;
+# generated blank labels are deterministic (salt = blake2b of the doc), so
+# the oracle can carry them as literal expected rows
+_EXTRA_TTL = ('@prefix s: <https://schema.org/> .\n'
+              '<https://docs.trident-spark.dev/extra/1> s:author '
+              '[ s:name "Ada" ; s:knows ( "b1" "b2" ) ] .')
+_EXTRA_TTL_ROWS = [
+    # (subj, pred, obj_lexical, obj_kind, obj_datatype) — salt 57159b33ecd0
+    ("https://docs.trident-spark.dev/extra/1", SCHEMA + "author",
+     "_:g57159b33ecd0n1", "blank", ""),
+    ("_:g57159b33ecd0n1", SCHEMA + "name", "Ada", "literal", ""),
+    ("_:g57159b33ecd0n1", SCHEMA + "knows", "_:g57159b33ecd0n2", "blank", ""),
+    ("_:g57159b33ecd0n2", RDF_TYPE[:-4] + "first", "b1", "literal", ""),
+    ("_:g57159b33ecd0n2", RDF_TYPE[:-4] + "rest", "_:g57159b33ecd0n3",
+     "blank", ""),
+    ("_:g57159b33ecd0n3", RDF_TYPE[:-4] + "first", "b2", "literal", ""),
+    ("_:g57159b33ecd0n3", RDF_TYPE[:-4] + "rest", RDF_TYPE[:-4] + "nil",
+     "iri", ""),
+]
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
+    A fixed document with blank-node property lists and a collection rides
+    along: parsed (from_turtle), serialized with everything else, parsed
+    again — its deterministic labels are literal rows in the oracle.
     The oracle is the independent SQL reconstruction of the triples, so a
     round-trip that loses or mangles one term goes red."""
     from trident_spark.pipeline.sinks import to_turtle, turtle_header
     from trident_spark.pipeline.turtle import from_turtle
 
-    triples = _distinct_triples(spark, sf_dir)
+    extra = from_turtle(
+        spark.createDataFrame([(_EXTRA_TTL,)], "doc string"))
+    triples = _distinct_triples(spark, sf_dir).unionByName(extra)
     blocks = to_turtle(triples)
     docs = blocks.select(
         F.concat(F.lit(turtle_header() + "\n"), F.col("block")).alias("doc")
@@ -1895,6 +1921,44 @@ FROM documents GROUP BY source
 """
 
 
+def q_kg_sparql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 function library end-to-end: STR/UCASE/SUBSTR/REPLACE/
+    STRAFTER/STRBEFORE/IF/COALESCE/IN/sameTerm/arithmetic in FILTER and
+    BIND, every value independently recomputed by the DuckDB oracle."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?doc ?langU ?srcnum ?sizeclass ?nlen WHERE {
+            ?doc schema:provider ?org ;
+                 schema:inLanguage ?lang ;
+                 schema:characterCount ?n .
+            ?org schema:name ?nm .
+            FILTER(sameTerm(?lang, ?lang) &&
+                   ?nm IN ("src1", "src2", "src3", "src4"))
+            BIND(UCASE(STR(?lang)) AS ?langU)
+            BIND(REPLACE(STRAFTER(?nm, "src"), "1", "9") AS ?srcnum)
+            BIND(IF(?n * 2 >= 1000, "big",
+                    COALESCE(STRBEFORE(?nm, "rc"), "small")) AS ?sizeclass)
+            BIND(STRLEN(?nm) - 1 AS ?nlen)
+        }
+        """,
+    ).withColumn("nlen", F.col("nlen").cast("long"))
+
+
+_KG_SPARQL_FUNCTIONS_ORACLE = f"""
+SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS doc,
+       UPPER(lang) AS langU,
+       REPLACE(substr(source, 4), '1', '9') AS srcnum,
+       CASE WHEN n_chars * 2 >= 1000 THEN 'big' ELSE 's' END AS sizeclass,
+       CAST(length(source) - 1 AS BIGINT) AS nlen
+FROM documents
+WHERE source IN ('src1', 'src2', 'src3', 'src4')
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1932,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus_values": q_kg_sparql_minus_values,
         "kg_sparql_exists": q_kg_sparql_exists,
         "kg_sparql_bind_subquery": q_kg_sparql_bind_subquery,
+        "kg_sparql_functions": q_kg_sparql_functions,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_rdfstar_reify": q_kg_rdfstar_reify,
@@ -2052,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_minus_values": _KG_SPARQL_MINUS_VALUES_ORACLE,
         "kg_sparql_exists": _KG_SPARQL_EXISTS_ORACLE,
         "kg_sparql_bind_subquery": _KG_SPARQL_BIND_SUBQUERY_ORACLE,
+        "kg_sparql_functions": _KG_SPARQL_FUNCTIONS_ORACLE,
         "kg_sparql_ask": _KG_SPARQL_ASK_ORACLE,
         "kg_sparql_construct": _KG_SPARQL_CONSTRUCT_ORACLE,
         "kg_rdfstar_reify": _KG_RDFSTAR_ORACLE,
@@ -2060,8 +2126,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_describe": _KG_SPARQL_DESCRIBE_ORACLE,
         "kg_sparql_datatype": _KG_SPARQL_DATATYPE_ORACLE,
         "kg_sparql_update": _KG_SPARQL_UPDATE_ORACLE,
-        # round-trip must reproduce the same independent reconstruction
-        "kg_turtle_roundtrip": _KG_TRIPLES_ORACLE,
+        # round-trip must reproduce the same independent reconstruction,
+        # plus the fixed [...]/(...) document's deterministic triples
+        "kg_turtle_roundtrip": (
+            f"SELECT * FROM ({_KG_TRIPLES_ORACLE}) base UNION ALL "
+            + _values_sql(_EXTRA_TTL_ROWS,
+                          ("subj", "pred", "obj_lexical", "obj_kind",
+                           "obj_datatype"))),
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "kg_top_hubs": _KG_TOP_HUBS_ORACLE,

@@ -291,6 +291,79 @@ def test_property_path_plus_transitive(spark, chain):
     assert [r["x"] for r in df.collect()] == [f"http://n/{i}" for i in range(1, 6)]
 
 
+def test_filter_function_library(spark, graph):
+    """SPARQL 1.1 built-ins in FILTER/BIND: STR/UCASE/LCASE/SUBSTR/REPLACE/
+    STRBEFORE/STRAFTER/IF/COALESCE/IN/arithmetic/ENCODE_FOR_URI."""
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n ?b ?a ?u ?e WHERE {
+            ?s schema:name ?n .
+            FILTER(?n IN ("Alice", "Acme") && STRLEN(?n) * 2 >= 8)
+            BIND(STRBEFORE(?n, "c") AS ?b)
+            BIND(STRAFTER(?n, "li") AS ?a)
+            BIND(IF(CONTAINS(?n, "l"), UCASE(SUBSTR(?n, 1, 2)),
+                    COALESCE(REPLACE(?n, "c", "k"), "x")) AS ?u)
+            BIND(ENCODE_FOR_URI(CONCAT(?n, " & co")) AS ?e)
+        } ORDER BY ?n
+    """)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [
+        ("Acme", "A", "", "Akme", "Acme%20%26%20co"),
+        ("Alice", "Ali", "ce", "AL", "Alice%20%26%20co"),
+    ]
+
+
+def test_filter_strbefore_absent_needle(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?s schema:name ?n . FILTER(STRBEFORE(?n, "zz") = "")
+        }
+    """)
+    assert df.count() == 4  # absent needle → "" for every name
+
+
+def test_filter_sameterm(spark):
+    """sameTerm distinguishes same-lexical different-kind terms when the
+    metadata columns are available (object-position bindings)."""
+    rows = [
+        ("http://x/a", "http://p/p", "v1", "literal", None, None),
+        ("http://x/a", "http://p/q", "v1", "literal", None, "en"),
+        ("http://x/b", "http://p/p", "v2", "literal", None, None),
+        ("http://x/b", "http://p/q", "v2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        SELECT ?s WHERE {
+            ?s <http://p/p> ?x . ?s <http://p/q> ?y .
+            FILTER(sameTerm(?x, ?y))
+        }
+    """)
+    # a's terms differ in lang tag; b's are identical plain literals
+    assert [r["s"] for r in df.collect()] == ["http://x/b"]
+
+
+def test_filter_langmatches(spark):
+    rows = [
+        ("http://x/a", "http://p/l", "hello", "literal", None, "en-GB"),
+        ("http://x/b", "http://p/l", "hallo", "literal", None, "de"),
+        ("http://x/c", "http://p/l", "plain", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        SELECT ?s WHERE {
+            ?s <http://p/l> ?v . FILTER(LANGMATCHES(LANG(?v), "en"))
+        }
+    """)
+    assert [r["s"] for r in df.collect()] == ["http://x/a"]
+    df2 = query(g, """
+        SELECT ?s WHERE {
+            ?s <http://p/l> ?v . FILTER(LANGMATCHES(LANG(?v), "*"))
+        } ORDER BY ?s
+    """)
+    assert [r["s"] for r in df2.collect()] == ["http://x/a", "http://x/b"]
+
+
 def test_delete_where_literal_with_iri_lexical_collision(spark):
     """DELETE of a literal triple whose lexical form also occurs as an IRI
     elsewhere: the matched solution's OWN kind must drive the anti-join —

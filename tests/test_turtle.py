@@ -66,7 +66,7 @@ def test_sparql_style_prefix_and_blank_nodes():
 
 def test_errors_are_loud():
     with pytest.raises(TurtleError):
-        parse_turtle("<http://x/s> <http://x/p> [ <http://x/q> 1 ] .")
+        parse_turtle("<http://x/s> <http://x/p> [ <http://x/q> 1 .")  # no ]
     with pytest.raises(TurtleError):
         parse_turtle("<http://x/s> undefined:name 1 .")
     with pytest.raises(TurtleError):
@@ -159,6 +159,90 @@ def test_from_nquads_error_channel(spark):
     assert len(good) == 1 and good[0]["obj_lexical"] == "ok"
     assert len(bad) == 1 and bad[0]["error"] == "this is not n-quads"
     assert bad[0]["subj"] is None
+
+
+def test_blank_node_property_list_object():
+    """schema.org-style nested [...] in object position."""
+    doc = """
+    @prefix s: <https://schema.org/> .
+    <http://x/doc> s:author [ a s:Person ; s:name "Ada" ;
+                              s:affiliation [ s:name "ACME" ] ] .
+    """
+    got = parse_turtle(doc)
+    by_pred = {}
+    for t in got:
+        by_pred.setdefault(t[1], []).append(t)
+    author = by_pred["https://schema.org/author"][0]
+    assert author[0] == "http://x/doc" and author[3] == "blank"
+    b1 = author[2]
+    assert (b1, RDF_TYPE, "https://schema.org/Person", "iri", None, None) in got
+    assert (b1, "https://schema.org/name", "Ada", "literal", None, None) in got
+    aff = [t for t in by_pred["https://schema.org/affiliation"]][0]
+    b2 = aff[2]
+    assert aff[0] == b1 and aff[3] == "blank" and b2 != b1
+    assert (b2, "https://schema.org/name", "ACME", "literal", None, None) in got
+    assert len(got) == 5
+
+
+def test_blank_node_property_list_subject_and_anonymous():
+    doc = """
+    @prefix s: <https://schema.org/> .
+    [ s:name "solo" ] .
+    [] s:name "anon" .
+    [ s:name "head" ] s:knows <http://x/b> .
+    """
+    got = parse_turtle(doc)
+    assert len(got) == 4
+    names = {t[2] for t in got if t[1] == "https://schema.org/name"}
+    assert names == {"solo", "anon", "head"}
+    knows = [t for t in got if t[1] == "https://schema.org/knows"][0]
+    head = [t for t in got if t[2] == "head"][0][0]
+    assert knows[0] == head and knows[2] == "http://x/b"
+    # all generated labels distinct
+    labels = {t[0] for t in got}
+    assert len(labels) == 3 and all(l.startswith("_:g") for l in labels)
+
+
+def test_collections():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = """
+    @prefix s: <https://schema.org/> .
+    <http://x/list> s:items ( "a" "b" ) .
+    <http://x/empty> s:items ( ) .
+    """
+    got = parse_turtle(doc)
+    empty = [t for t in got if t[0] == "http://x/empty"][0]
+    assert empty[2] == rdf + "nil" and empty[3] == "iri"
+    items = [t for t in got if t[0] == "http://x/list"][0]
+    head = items[2]
+    assert items[3] == "blank"
+    firsts = {t[0]: t[2] for t in got if t[1] == rdf + "first"}
+    rests = {t[0]: (t[2], t[3]) for t in got if t[1] == rdf + "rest"}
+    assert firsts[head] == "a"
+    nxt, kind = rests[head]
+    assert kind == "blank" and firsts[nxt] == "b"
+    assert rests[nxt] == (rdf + "nil", "iri")
+
+
+def test_collection_as_subject():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    got = parse_turtle('( "x" ) <http://p/note> "head" .')
+    note = [t for t in got if t[1] == "http://p/note"][0]
+    head = note[0]
+    assert (head, rdf + "first", "x", "literal", None, None) in got
+    assert note[2] == "head"
+
+
+def test_blank_labels_distinct_across_documents(spark):
+    """Two documents with identical [...] structure must not share
+    generated labels when parsed into one DataFrame."""
+    d1 = '@prefix s: <https://schema.org/> . <http://x/1> s:a [ s:n "p" ] .'
+    d2 = '@prefix s: <https://schema.org/> . <http://x/2> s:a [ s:n "q" ] .'
+    docs = spark.createDataFrame([(d1,), (d2,)], "doc string")
+    rows = from_turtle(docs).collect()
+    blanks = {r["obj_lexical"] for r in rows
+              if r["obj_kind"] == "blank"}
+    assert len(blanks) == 2  # distinct per document
 
 
 def test_turtle_numeric_escapes():

@@ -177,6 +177,7 @@ def to_turtle(skolemized: DataFrame,
     lit = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
     rendered_obj = (
         F.when(F.col("obj_kind") == "iri", compact(obj))
+        .when(F.col("obj_kind") == "blank", obj)  # label verbatim
         # valid Turtle 1.2 triple-term syntax; note pipeline/turtle.py's
         # parser reads classic Turtle only — triple-term round-trips go
         # through N-Triples/N-Quads
@@ -187,13 +188,15 @@ def to_turtle(skolemized: DataFrame,
         .otherwise(lit)
     )
     po = F.concat(compact(F.col("pred")), F.lit(" "), rendered_obj)
+    subj_r = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
+        .otherwise(compact(F.col("subj")))
     return (
         skolemized.select(F.col("subj"), po.alias("po"))
         .groupBy("subj")
         .agg(F.array_sort(F.collect_set("po")).alias("pos"))
         .select(
             F.concat(
-                compact(F.col("subj")), F.lit(" "),
+                subj_r, F.lit(" "),
                 F.concat_ws(" ;\n    ", F.col("pos")), F.lit(" ."),
             ).alias("block")
         )

@@ -11,15 +11,20 @@ ingested.  Supported surface (a practical Turtle subset):
 - ``"literal"`` with ``\\`` ``\"`` ``\n`` ``\r`` ``\t`` escapes, ``@lang``
   tags and ``^^`` datatypes (IRI or prefixed)
 - blank node labels ``_:b1``
+- blank node property lists ``[ p o ; ... ]`` (subject or object position,
+  including anonymous ``[]``) — fresh labels salted per document so
+  parsing many documents into one DataFrame cannot merge distinct nodes
+- collections ``( a b c )`` expanded to rdf:first/rest chains, ``()`` →
+  rdf:nil
 - bare integers/decimals/booleans (typed per Turtle spec)
 - ``#`` comments (outside IRIs and strings)
 - RDF 1.2 triple terms ``<<( s p o )>>`` in object position (parsed to the
   pipeline's canonical ``obj_kind='triple'`` representation, nesting
   included — the inverse of what ``to_turtle`` renders for reified frames)
+- ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric escapes in string literals
 
-Not supported (raises TurtleError, never silently drops): blank node
-property lists ``[...]``, collections ``(...)``, triple-quoted strings,
-and the ``<< s p o >>`` reifier sugar (use pipeline/rdfstar.reify).
+Not supported (raises TurtleError, never silently drops): triple-quoted
+strings and the ``<< s p o >>`` reifier sugar (use pipeline/rdfstar.reify).
 
 Distribution model: one Turtle *document* per DataFrame row (Turtle is not
 line-oriented — a subject block spans lines, and prefixes scope the whole
@@ -36,7 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
 
 
 class TurtleError(ValueError):
@@ -104,12 +110,14 @@ _NUMBER_RE = re.compile(r"^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
 
 
 class _Parser:
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], salt: str = ""):
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.out: list[tuple] = []
+        self._salt = salt
+        self._gen = 0
 
     def _peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -184,8 +192,50 @@ class _Parser:
             return s + "^^" + iri(dt)
         return s
 
+    def _fresh_blank(self) -> str:
+        """Fresh blank-node label for [...] / (...) — salted with a digest
+        of the document so labels from different documents parsed into the
+        same DataFrame cannot collide (blank labels are document-scoped)."""
+        self._gen += 1
+        return f"_:g{self._salt}n{self._gen}"
+
+    def _bnode_property_list(self) -> str:
+        """'[' already consumed: parse predicateObjectList until ']',
+        emitting the triples; returns the fresh blank label."""
+        label = self._fresh_blank()
+        if self._peek() == "]":  # anonymous node []
+            self._next()
+            return label
+        self._predicate_object_list(label, end="]")
+        self._expect("]")
+        return label
+
+    def _collection(self) -> tuple[str, str, str | None, str | None]:
+        """'(' already consumed: RDF collection → rdf:first/rest/nil chain;
+        '()' is rdf:nil itself."""
+        items = []
+        while True:
+            tok = self._next()
+            if tok == ")":
+                break
+            items.append(self._object(tok))
+        if not items:
+            return RDF_NS + "nil", "iri", None, None
+        labels = [self._fresh_blank() for _ in items]
+        for i, (label, item) in enumerate(zip(labels, items)):
+            self.out.append((label, RDF_NS + "first", *item[:2], *item[2:]))
+            rest = (labels[i + 1], "blank") if i + 1 < len(items) \
+                else (RDF_NS + "nil", "iri")
+            self.out.append((label, RDF_NS + "rest", rest[0], rest[1],
+                             None, None))
+        return labels[0], "blank", None, None
+
     def _object(self, tok: str) -> tuple[str, str, str | None, str | None]:
         """→ (lexical, kind, datatype, lang)."""
+        if tok == "[":
+            return self._bnode_property_list(), "blank", None, None
+        if tok == "(":
+            return self._collection()
         if tok == "<<(":
             # RDF 1.2 triple term: parse components, store canonically
             s = self._subject(self._next())
@@ -250,12 +300,41 @@ class _Parser:
         if not sparql_style:
             self._expect(".")
 
+    def _predicate_object_list(self, subj: str, end: str = "."):
+        """predicateObjectList for ``subj``; stops BEFORE the terminator
+        ('.' at statement level, ']' inside a property list)."""
+        while True:
+            pred = self._predicate(self._next())
+            while True:  # object list
+                lex, kind, dt, lang = self._object(self._next())
+                self.out.append((subj, pred, lex, kind, dt, lang))
+                if self._peek() == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek() == ";":
+                self._next()
+                if self._peek() in (end, None):  # dangling ';'
+                    break
+                continue
+            break
+
     def parse(self) -> list[tuple]:
         while self.i < len(self.toks):
             tok = self._next()
-            if tok in ("[", "("):
-                raise TurtleError(
-                    "blank node property lists / collections not supported")
+            if tok == "[":
+                # blankNodePropertyList subject; predicateObjectList after
+                # the ']' is optional per the grammar
+                subj = self._bnode_property_list()
+                if self._peek() != ".":
+                    self._predicate_object_list(subj)
+                self._expect(".")
+                continue
+            if tok == "(":
+                subj = self._collection()[0]
+                self._predicate_object_list(subj)
+                self._expect(".")
+                continue
             up = tok.lstrip("@").upper()
             if up in ("PREFIX", "BASE") and (
                 tok.startswith("@") or not tok.startswith("_:")
@@ -263,21 +342,7 @@ class _Parser:
                 self._directive(tok)
                 continue
             subj = self._subject(tok)
-            while True:  # predicate-object list
-                pred = self._predicate(self._next())
-                while True:  # object list
-                    lex, kind, dt, lang = self._object(self._next())
-                    self.out.append((subj, pred, lex, kind, dt, lang))
-                    if self._peek() == ",":
-                        self._next()
-                        continue
-                    break
-                if self._peek() == ";":
-                    self._next()
-                    if self._peek() in (".", None):  # dangling ';'
-                        break
-                    continue
-                break
+            self._predicate_object_list(subj)
             self._expect(".")
         return self.out
 
@@ -285,8 +350,13 @@ class _Parser:
 def parse_turtle(text: str) -> list[tuple]:
     """Turtle document → [(subj, pred, obj_lexical, obj_kind, obj_datatype,
     obj_lang)].  Raises TurtleError on anything outside the supported
-    subset — never silently drops statements."""
-    return _Parser(_tokenize(text)).parse()
+    subset — never silently drops statements.  Generated blank labels
+    ([...] / (...)) are salted with a digest of the document: parsing is
+    deterministic per document, collision-free across documents."""
+    import hashlib
+
+    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=6).hexdigest()
+    return _Parser(_tokenize(text), salt=salt).parse()
 
 
 TURTLE_PARSED_SCHEMA = (

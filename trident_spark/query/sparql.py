@@ -442,9 +442,78 @@ _FILTER_FUNCS = {
 }
 
 
-def _filter_sql(toks: list[str]) -> str:
+# SPARQL functions with no 1:1 Spark SQL builtin — expanded as SQL macros
+# over their compiled argument expressions
+_MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
+                "ENCODE_FOR_URI")
+
+
+def _parse_call_args(toks: list[str], i: int) -> tuple[list[list[str]], int]:
+    """toks[i] must be '(' — split the balanced argument list on top-level
+    commas; returns (args, index after the closing paren)."""
+    if toks[i : i + 1] != ["("]:
+        raise SparqlError("expected '(' after function name")
+    depth, args, cur = 1, [], []
+    i += 1
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+            cur.append(t)
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(cur)
+                return args, i + 1
+            cur.append(t)
+        elif t == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    raise SparqlError("unbalanced parentheses in expression")
+
+
+def _expand_macro(name: str, args: list[list[str]],
+                  cols: set[str] | None) -> str:
+    sql = [_filter_sql(a, cols) for a in args]
+    if name in ("STRBEFORE", "STRAFTER") and len(sql) == 2:
+        a, b = sql
+        if name == "STRBEFORE":  # "" when the needle is absent (SPARQL 17.4.3.10)
+            return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, 1, instr({a}, {b}) - 1) ELSE '' END)")
+        return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                f"substring({a}, instr({a}, {b}) + length({b})) "
+                f"ELSE '' END)")
+    if name == "ENCODE_FOR_URI" and len(sql) == 1:
+        # url_encode is form-encoding ('+' for space); SPARQL wants %20
+        return f"replace(url_encode({sql[0]}), '+', '%20')"
+    if name == "LANGMATCHES" and len(sql) == 2:
+        tag, rng = sql
+        return (f"(CASE WHEN {rng} = '*' THEN {tag} <> '' "
+                f"ELSE lower({tag}) = lower({rng}) "
+                f"OR startswith(lower({tag}), lower({rng}) || '-') END)")
+    if name == "SAMETERM" and len(sql) == 2:
+        # term identity: lexical form plus kind/lang/datatype whenever the
+        # hidden metadata columns are present for both variable args
+        parts = [f"({sql[0]} <=> {sql[1]})"]
+        vars_ = [a[0][1:] if len(a) == 1 and a[0].startswith("?") else None
+                 for a in args]
+        if None not in vars_ and cols is not None:
+            va, vb = vars_
+            for pfx in ("_kind_", "_lang_", "_dt_"):
+                if pfx + va in cols and pfx + vb in cols:
+                    parts.append(f"(`{pfx + va}` <=> `{pfx + vb}`)")
+        return "(" + " AND ".join(parts) + ")"
+    raise SparqlError(f"{name} takes {len(args)} arguments?")
+
+
+def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
     """FILTER token list → Spark SQL expression (token-level, so quoted
-    strings and nested parens are structurally safe)."""
+    strings and nested parens are structurally safe).  ``cols`` is the
+    compiling plan's column set — used by macros that consult hidden
+    metadata columns (sameTerm)."""
     out = []
     i = 0
     while i < len(toks):
@@ -454,6 +523,10 @@ def _filter_sql(toks: list[str]) -> str:
             out.append(f"`{t[1:]}`")
         elif t.startswith('"'):
             out.append(_sql_str(t))
+        elif up in _MACRO_FUNCS:
+            args, i = _parse_call_args(toks, i + 1)
+            out.append(_expand_macro(up, args, cols))
+            continue
         elif up == "BOUND":
             if i + 3 >= len(toks) or toks[i + 1] != "(" or toks[i + 3] != ")":
                 raise SparqlError("BOUND takes one variable")
@@ -876,6 +949,12 @@ def _meta_vars(elements: list) -> set[str]:
                         and toks[i + 1 : i + 2] == ["("] \
                         and i + 2 < len(toks) and toks[i + 2].startswith("?"):
                     need.add(toks[i + 2][1:])
+                elif t.upper() == "SAMETERM" and toks[i + 1 : i + 2] == ["("]:
+                    # both (all) variable args want their term metadata
+                    args, _ = _parse_call_args(toks, i + 1)
+                    for a in args:
+                        if len(a) == 1 and a[0].startswith("?"):
+                            need.add(a[0][1:])
     return need
 
 
@@ -945,7 +1024,8 @@ def _compile_group(triples: DataFrame, group: _Group,
             expr_toks, alias = el[1], el[2]
             if alias in bound:
                 raise SparqlError(f"BIND reassigns bound variable ?{alias}")
-            plan = plan.withColumn(alias, F.expr(_filter_sql(expr_toks)))
+            plan = plan.withColumn(
+                alias, F.expr(_filter_sql(expr_toks, set(plan.columns))))
             bound = bound | {alias}
             continue
         elif el[0] == "minus":
@@ -998,7 +1078,7 @@ def _compile_group(triples: DataFrame, group: _Group,
         raise SparqlError("empty group pattern")
     # SPARQL filter scope: the enclosing group, after all elements joined
     for ftoks in filters:
-        plan = plan.where(_filter_sql(ftoks))
+        plan = plan.where(_filter_sql(ftoks, set(plan.columns)))
     # EXISTS/NOT EXISTS: correlated on the shared variables → semi/anti join
     # (the standard decorrelation; exact for the supported fragment, where
     # the inner group references the outer row only through shared vars)
