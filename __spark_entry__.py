@@ -892,6 +892,31 @@ _EXTRA_TTL_ROWS = [
 ]
 
 
+def q_kg_sparql_update_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-scoped SPARQL Update (WITH <g> DELETE/INSERT WHERE) over the
+    per-document quads dataset: archive one document's graph — delete its
+    triples, insert an archived marker per subject — leaving every other
+    named graph untouched.  Oracle reconstructs the full post-update quad
+    set in SQL."""
+    from trident_spark.query.sparql import update_quads
+
+    quads = _doc_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
+        "obj_lang", F.col("url").alias("graph"),
+    )
+    out = update_quads(
+        quads,
+        f"""
+        WITH <{DOC_BASE}/doc/0>
+        DELETE {{ ?s ?p ?o }}
+        INSERT {{ ?s <{SCHEMA}archived> "true" }}
+        WHERE  {{ ?s ?p ?o }}
+        """,
+    )
+    return out.select(
+        "subj", "pred", "obj_lexical", "obj_kind", "graph").distinct()
+
+
 def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the doc KG to Turtle and parse it back — fully distributed
     (each subject block + @prefix header is a self-contained document row).
@@ -1016,6 +1041,39 @@ WITH base AS (
 )
 SELECT DISTINCT subj, pred, obj_lexical, obj_kind, obj_datatype, graph FROM t
 """
+
+_KG_SPARQL_UPDATE_GRAPH_ORACLE = f"""
+WITH allq AS ({_KG_NQUADS_ORACLE})
+SELECT DISTINCT subj, pred, obj_lexical, obj_kind, graph
+FROM allq WHERE graph <> '{DOC_BASE}/doc/0'
+UNION ALL
+SELECT DISTINCT subj, '{SCHEMA}archived', 'true', 'literal',
+       '{DOC_BASE}/doc/0'
+FROM allq WHERE graph = '{DOC_BASE}/doc/0'
+"""
+
+
+def q_kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG (named-graph Turtle): serialize the per-document quads as
+    `<g> { block }` chunks, parse back with the TriG reader, return
+    distinct quads — the oracle is the same independent per-document SQL
+    reconstruction the N-Quads round-trip uses."""
+    from trident_spark.pipeline.sinks import to_trig, turtle_header
+    from trident_spark.pipeline.turtle import from_trig
+
+    quads = _doc_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
+        "obj_lang", F.col("url").alias("graph"),
+    )
+    chunks = to_trig(quads)
+    docs = chunks.select(
+        F.concat(F.lit(turtle_header() + "\n"), F.col("chunk")).alias("doc"))
+    parsed = from_trig(docs)
+    return parsed.select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+        "graph",
+    ).distinct()
 
 
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,8 +2063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_datatype": q_kg_sparql_datatype,
         "kg_sparql_update": q_kg_sparql_update,
+        "kg_sparql_update_graph": q_kg_sparql_update_graph,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
+        "kg_trig_roundtrip": q_kg_trig_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -2126,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_describe": _KG_SPARQL_DESCRIBE_ORACLE,
         "kg_sparql_datatype": _KG_SPARQL_DATATYPE_ORACLE,
         "kg_sparql_update": _KG_SPARQL_UPDATE_ORACLE,
+        "kg_sparql_update_graph": _KG_SPARQL_UPDATE_GRAPH_ORACLE,
         # round-trip must reproduce the same independent reconstruction,
         # plus the fixed [...]/(...) document's deterministic triples
         "kg_turtle_roundtrip": (
@@ -2134,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
                           ("subj", "pred", "obj_lexical", "obj_kind",
                            "obj_datatype"))),
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
+        "kg_trig_roundtrip": _KG_NQUADS_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
         "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,

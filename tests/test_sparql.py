@@ -1149,3 +1149,116 @@ def test_negated_property_set(spark, graph):
         SELECT DISTINCT ?o WHERE { <http://x/acme> !schema:name ?o }
     """)
     assert [r["o"] for r in df.collect()] == [SCHEMA + "Organization"]
+
+
+# ---------------------------------------------------------------------------
+# graph-scoped Update (update_quads)
+# ---------------------------------------------------------------------------
+
+
+def _q(rows):
+    return {tuple(r) for r in rows}
+
+
+def test_update_quads_clear_and_drop(spark, quads):
+    from trident_spark.query.sparql import update_quads
+
+    out = update_quads(quads, "CLEAR GRAPH <http://g/1>")
+    assert _q(out.select("graph").distinct().collect()) == {
+        (None,), ("http://g/2",)}
+    out2 = update_quads(quads, "DROP DEFAULT")
+    assert out2.where(out2.graph.isNull()).count() == 0
+    assert update_quads(quads, "DROP NAMED").count() == 2
+    assert update_quads(quads, "DROP ALL").count() == 0
+    # CREATE is a no-op in the quads model
+    assert update_quads(
+        quads, "CREATE GRAPH <http://g/9>").count() == quads.count()
+
+
+def test_update_quads_move_copy_add(spark, quads):
+    from trident_spark.query.sparql import update_quads
+
+    moved = update_quads(quads, "MOVE GRAPH <http://g/1> TO GRAPH <http://g/2>")
+    assert moved.where(moved.graph == "http://g/1").count() == 0
+    g2 = _q(moved.where(moved.graph == "http://g/2")
+            .select("subj", "pred").collect())
+    # g2's previous content was dropped; only g1's rows live there now
+    assert ("http://x/alice", SCHEMA + "name") in g2
+    assert ("http://x/bob", SCHEMA + "name") not in g2
+
+    copied = update_quads(quads, "COPY DEFAULT TO GRAPH <http://g/2>")
+    assert copied.where(copied.graph.isNull()).count() == 2  # source kept
+    assert _q(copied.where(copied.graph == "http://g/2")
+              .select("pred").collect()) == {(RDF_TYPE,)}
+
+    added = update_quads(quads, "ADD GRAPH <http://g/1> TO GRAPH <http://g/2>")
+    g2 = added.where(added.graph == "http://g/2")
+    assert g2.count() == quads.where(quads.graph == "http://g/1").count() \
+        + quads.where(quads.graph == "http://g/2").count()
+
+
+def test_update_quads_insert_delete_data_graph_blocks(spark, quads):
+    from trident_spark.query.sparql import update_quads
+
+    out = update_quads(quads, """
+        INSERT DATA {
+            <http://x/new> <http://p/q> "v" .
+            GRAPH <http://g/1> { <http://x/new> <http://p/q> "w" . }
+        }
+    """)
+    got = _q(out.select("subj", "obj_lexical", "graph").collect())
+    assert ("http://x/new", "v", None) in got
+    assert ("http://x/new", "w", "http://g/1") in got
+
+    back = update_quads(out, """
+        DELETE DATA {
+            <http://x/new> <http://p/q> "v" .
+            GRAPH <http://g/1> { <http://x/new> <http://p/q> "w" . }
+        }
+    """)
+    assert _q(back.select(*quads.columns).collect()) == _q(quads.collect())
+
+
+def test_update_quads_with_template_form(spark, quads):
+    from trident_spark.query.sparql import update_quads
+
+    out = update_quads(quads, """
+        PREFIX schema: <https://schema.org/>
+        WITH <http://g/1>
+        DELETE { ?s schema:name ?n }
+        INSERT { ?s schema:label ?n }
+        WHERE  { ?s schema:name ?n }
+    """)
+    g1 = _q(out.where(out.graph == "http://g/1")
+            .select("pred", "obj_lexical").collect())
+    assert (SCHEMA + "label", "Alice") in g1
+    assert (SCHEMA + "name", "Alice") not in g1
+    # other graphs untouched
+    assert _q(out.where(out.graph == "http://g/2")
+              .select("pred", "obj_lexical").collect()) \
+        == _q(quads.where(quads.graph == "http://g/2")
+              .select("pred", "obj_lexical").collect())
+
+
+def test_update_quads_graph_template_blocks_and_using(spark, quads):
+    from trident_spark.query.sparql import update_quads
+
+    # USING makes g2 the default graph for WHERE; the template writes the
+    # match into a fresh named graph
+    out = update_quads(quads, """
+        PREFIX schema: <https://schema.org/>
+        INSERT { GRAPH <http://g/audit> { ?s schema:seen "yes" } }
+        USING <http://g/2>
+        WHERE { ?s schema:name ?n }
+    """)
+    audit = _q(out.where(out.graph == "http://g/audit")
+               .select("subj", "obj_lexical").collect())
+    assert audit == {("http://x/bob", "yes")}
+
+
+def test_update_quads_delete_where_default_graph(spark, quads):
+    from trident_spark.query.sparql import update_quads
+
+    out = update_quads(quads, "DELETE WHERE { ?s a <https://schema.org/Person> }")
+    assert out.where(out.graph.isNull()).count() == 0
+    assert out.count() == quads.count() - 2

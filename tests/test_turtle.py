@@ -310,3 +310,64 @@ def test_turtle_roundtrip_with_reified_frame(spark):
     orig = {tuple(r) for r in re1.collect()}
     got = {tuple(r) for r in back.collect()}
     assert orig == got
+
+
+# ---------------------------------------------------------------------------
+# TriG (named-graph Turtle)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_trig_blocks_and_shorthand():
+    from trident_spark.pipeline.turtle import parse_trig
+
+    doc = """
+    @prefix s: <https://schema.org/> .
+    <http://x/plain> s:name "default" .
+    { <http://x/d> s:name "braced-default" . }
+    GRAPH <http://g/1> { <http://x/a> s:name "in-g1" ; s:age 5 . }
+    <http://g/2> { <http://x/b> s:name "in-g2" }
+    _:bg { <http://x/c> s:name "in-blank-graph" . }
+    """
+    got = parse_trig(doc)
+    by_graph = {}
+    for t in got:
+        by_graph.setdefault(t[6], []).append(t)
+    assert {t[2] for t in by_graph[None]} == {"default", "braced-default"}
+    assert {t[2] for t in by_graph["http://g/1"]} == {"in-g1", "5"}
+    assert by_graph["http://g/2"][0][2] == "in-g2"  # final '.' optional
+    assert by_graph["_:bg"][0][2] == "in-blank-graph"
+
+
+def test_parse_trig_property_list_inside_block():
+    from trident_spark.pipeline.turtle import parse_trig
+
+    doc = ('@prefix s: <https://schema.org/> .\n'
+           'GRAPH <http://g/1> { <http://x/a> s:author [ s:name "Ada" ] . }')
+    got = parse_trig(doc)
+    assert all(t[6] == "http://g/1" for t in got)
+    blank = [t for t in got if t[1] == "https://schema.org/author"][0][2]
+    assert (blank, "https://schema.org/name", "Ada", "literal", None, None,
+            "http://g/1") in got
+
+
+def test_trig_roundtrip(spark):
+    from trident_spark.pipeline.sinks import to_trig, turtle_header
+    from trident_spark.pipeline.turtle import from_trig
+
+    qcols = ("subj string, pred string, obj_lexical string, obj_kind string, "
+             "obj_datatype string, obj_lang string, graph string")
+    rows = [
+        ("http://x/s", "http://x/p", "v", "literal", None, None, "http://g/1"),
+        ("http://x/s", "http://x/p", "http://x/o", "iri", None, None, None),
+        ("_:b1", "http://x/p", "_:b2", "blank", None, None, "http://g/2"),
+        ("http://x/s", "http://x/q", 'esc"aped\n', "literal", None, "en",
+         "http://g/1"),
+        ("http://x/t", RDF_TYPE, SCHEMA + "Thing", "iri", None, None,
+         "http://g/1"),
+    ]
+    df = spark.createDataFrame(rows, qcols)
+    chunks = to_trig(df)
+    docs = chunks.select(
+        F.concat(F.lit(turtle_header() + "\n"), F.col("chunk")).alias("doc"))
+    back = from_trig(docs)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in rows}

@@ -163,7 +163,14 @@ def to_turtle(skolemized: DataFrame,
     Catalyst expression chain; emit the @prefix header separately with
     :func:`turtle_header`.
     """
-    pfx = prefixes or DEFAULT_TURTLE_PREFIXES
+    return _subject_blocks(skolemized, prefixes or DEFAULT_TURTLE_PREFIXES,
+                           with_graph=False)
+
+
+def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
+                    with_graph: bool) -> DataFrame:
+    """Shared Turtle/TriG renderer: (graph?,) subj → one ``block`` per
+    subject (per graph when ``with_graph``), all in whole-stage codegen."""
 
     def compact(col):
         out = F.concat(F.lit("<"), col, F.lit(">"))
@@ -190,16 +197,42 @@ def to_turtle(skolemized: DataFrame,
     po = F.concat(compact(F.col("pred")), F.lit(" "), rendered_obj)
     subj_r = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
         .otherwise(compact(F.col("subj")))
-    return (
-        skolemized.select(F.col("subj"), po.alias("po"))
-        .groupBy("subj")
+    keys = ["graph", "subj"] if with_graph else ["subj"]
+    sel = ([F.col("graph")] if with_graph else []) + \
+        [F.col("subj"), po.alias("po")]
+    block = F.concat(
+        subj_r, F.lit(" "),
+        F.concat_ws(" ;\n    ", F.col("pos")), F.lit(" ."),
+    ).alias("block")
+    out = (
+        frame.select(*sel)
+        .groupBy(*keys)
         .agg(F.array_sort(F.collect_set("po")).alias("pos"))
-        .select(
-            F.concat(
-                subj_r, F.lit(" "),
-                F.concat_ws(" ;\n    ", F.col("pos")), F.lit(" ."),
-            ).alias("block")
-        )
+    )
+    if with_graph:
+        return out.select(F.col("graph"), block)
+    return out.select(block)
+
+
+def to_trig(quads: DataFrame,
+            prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Quads → one TriG document chunk per (graph, subject): named-graph
+    rows come wrapped as ``<g> { block }``, default-graph rows (graph
+    NULL) are plain Turtle blocks.  Each output row + the
+    :func:`turtle_header` prefix header is a self-contained TriG document,
+    so the corpus stays distributed — the same model as :func:`to_turtle`.
+    (One wrapper per subject is valid TriG: a graph may be named by any
+    number of blocks, and their contents merge.)"""
+    pfx = prefixes or DEFAULT_TURTLE_PREFIXES
+    blocks = _subject_blocks(quads, pfx, with_graph=True)
+    g = F.col("graph")
+    g_r = F.when(g.startswith("_:"), g).otherwise(
+        F.concat(F.lit("<"), g, F.lit(">")))
+    return blocks.select(
+        F.when(g.isNull(), F.col("block"))
+        .otherwise(F.concat(g_r, F.lit(" {\n"), F.col("block"),
+                            F.lit("\n}")))
+        .alias("chunk")
     )
 
 

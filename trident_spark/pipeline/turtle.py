@@ -61,7 +61,7 @@ _TOKEN_RE = re.compile(
     | :[\w\-.%]*                                        # default-ns pname
     | [A-Za-z_][\w\-]*                                  # bare word (a, true, PREFIX)
     | [+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?      # number
-    | [.;,\[\]()]                                       # punctuation
+    | [.;,{}\[\]()]                                     # punctuation
     """,
     re.VERBOSE,
 )
@@ -206,7 +206,7 @@ class _Parser:
         if self._peek() == "]":  # anonymous node []
             self._next()
             return label
-        self._predicate_object_list(label, end="]")
+        self._predicate_object_list(label, ends=("]",))
         self._expect("]")
         return label
 
@@ -300,9 +300,10 @@ class _Parser:
         if not sparql_style:
             self._expect(".")
 
-    def _predicate_object_list(self, subj: str, end: str = "."):
+    def _predicate_object_list(self, subj: str, ends: tuple = (".",)):
         """predicateObjectList for ``subj``; stops BEFORE the terminator
-        ('.' at statement level, ']' inside a property list)."""
+        ('.' at statement level, ']' inside a property list, also '}'
+        inside TriG graph blocks)."""
         while True:
             pred = self._predicate(self._next())
             while True:  # object list
@@ -314,37 +315,137 @@ class _Parser:
                 break
             if self._peek() == ";":
                 self._next()
-                if self._peek() in (end, None):  # dangling ';'
+                if self._peek() in ends or self._peek() is None:  # dangling ';'
                     break
                 continue
             break
 
+    def _statement_body(self, tok: str, ends: tuple = (".",)):
+        """One triples statement starting at ``tok``, WITHOUT consuming the
+        terminator."""
+        if tok == "[":
+            # blankNodePropertyList subject; predicateObjectList after
+            # the ']' is optional per the grammar
+            subj = self._bnode_property_list()
+            if self._peek() not in ends and self._peek() is not None:
+                self._predicate_object_list(subj, ends)
+            return
+        if tok == "(":
+            subj = self._collection()[0]
+            self._predicate_object_list(subj, ends)
+            return
+        subj = self._subject(tok)
+        self._predicate_object_list(subj, ends)
+
     def parse(self) -> list[tuple]:
         while self.i < len(self.toks):
             tok = self._next()
-            if tok == "[":
-                # blankNodePropertyList subject; predicateObjectList after
-                # the ']' is optional per the grammar
-                subj = self._bnode_property_list()
-                if self._peek() != ".":
-                    self._predicate_object_list(subj)
-                self._expect(".")
-                continue
-            if tok == "(":
-                subj = self._collection()[0]
-                self._predicate_object_list(subj)
-                self._expect(".")
-                continue
             up = tok.lstrip("@").upper()
             if up in ("PREFIX", "BASE") and (
                 tok.startswith("@") or not tok.startswith("_:")
             ):
                 self._directive(tok)
                 continue
-            subj = self._subject(tok)
-            self._predicate_object_list(subj)
+            self._statement_body(tok)
             self._expect(".")
         return self.out
+
+
+class _TrigParser(_Parser):
+    """TriG = Turtle + graph blocks: ``{ ... }`` (default graph),
+    ``GRAPH <g> { ... }``, and the ``<g> { ... }`` shorthand; plain Turtle
+    statements land in the default graph.  Emits 7-tuples (+graph)."""
+
+    def _graph_term(self, tok: str) -> str:
+        if tok.startswith("_:"):
+            return tok
+        if tok.startswith("<"):
+            return self._iri(tok)
+        if ":" in tok:
+            return self._pname(tok)
+        raise TurtleError(f"invalid graph name {tok!r}")
+
+    def _tag(self, start: int, graph: str | None):
+        for k in range(start, len(self.out)):
+            self.out[k] = self.out[k] + (graph,)
+
+    def _block(self, graph: str | None):
+        """'{' consumed: triples statements until '}' (final '.' optional
+        per the TriG grammar)."""
+        while True:
+            if self._peek() == "}":
+                self._next()
+                return
+            tok = self._next()
+            start = len(self.out)
+            self._statement_body(tok, ends=(".", "}"))
+            if self._peek() == ".":
+                self._next()
+            elif self._peek() != "}":
+                raise TurtleError(
+                    f"expected '.' or '}}' in graph block, got "
+                    f"{self._peek()!r}")
+            self._tag(start, graph)
+
+    def parse(self) -> list[tuple]:
+        while self.i < len(self.toks):
+            tok = self._next()
+            up = tok.lstrip("@").upper()
+            if up in ("PREFIX", "BASE") and (
+                tok.startswith("@") or not tok.startswith("_:")
+            ):
+                self._directive(tok)
+                continue
+            if tok == "{":
+                self._block(None)
+                continue
+            if up == "GRAPH":
+                g = self._graph_term(self._next())
+                self._expect("{")
+                self._block(g)
+                continue
+            if self._peek() == "{":  # <g> { ... } shorthand
+                g = self._graph_term(tok)
+                self._next()
+                self._block(g)
+                continue
+            start = len(self.out)
+            self._statement_body(tok)
+            self._expect(".")
+            self._tag(start, None)
+        return self.out
+
+
+def parse_trig(text: str) -> list[tuple]:
+    """TriG document → [(subj, pred, obj_lexical, obj_kind, obj_datatype,
+    obj_lang, graph)] — graph None for default-graph statements.  Same
+    error contract and label salting as :func:`parse_turtle`."""
+    import hashlib
+
+    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=6).hexdigest()
+    return _TrigParser(_tokenize(text), salt=salt).parse()
+
+
+TRIG_PARSED_SCHEMA = (
+    "subj string, pred string, obj_lexical string, obj_kind string, "
+    "obj_datatype string, obj_lang string, graph string"
+)
+
+
+def from_trig(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """docs(doc string) — one TriG document per row → parsed quads."""
+
+    def run(iterator):
+        cols = ["subj", "pred", "obj_lexical", "obj_kind",
+                "obj_datatype", "obj_lang", "graph"]
+        for pdf in iterator:
+            rows: list[tuple] = []
+            for text in pdf[doc_col]:
+                if text:
+                    rows.extend(parse_trig(text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, TRIG_PARSED_SCHEMA)
 
 
 def parse_turtle(text: str) -> list[tuple]:

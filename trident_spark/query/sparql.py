@@ -1674,3 +1674,259 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
     insert_df = (_instantiate(triples, ins_tmpl, plan, bound, prefixes)
                  if ins_tmpl else None)
     return apply(delete_df, insert_df)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update with graph scope — immutable quads frame
+# ---------------------------------------------------------------------------
+
+_QCORE = _CORE + ["graph"]
+
+
+def _graph_ref(toks: list[str], i: int,
+               prefixes: dict[str, str]) -> tuple[str, str | None, int]:
+    """DEFAULT | NAMED | ALL | [GRAPH] <iri> → (kind, iri|None, next_i)."""
+    if i >= len(toks):
+        raise SparqlError("expected a graph reference")
+    t = toks[i].upper()
+    if t in ("DEFAULT", "NAMED", "ALL"):
+        return t.lower(), None, i + 1
+    if t == "GRAPH":
+        i += 1
+        if i >= len(toks):
+            raise SparqlError("GRAPH requires an IRI")
+    return "iri", _expand(toks[i], prefixes), i + 1
+
+
+def _flatten_template(group: _Group, with_graph: str | None,
+                      prefixes: dict[str, str]
+                      ) -> list[tuple[list[_Pattern], str | None]]:
+    """Template group → [(patterns, target_graph)] — plain patterns target
+    the WITH graph (or the default graph), GRAPH <iri> blocks their own."""
+    plain: list[_Pattern] = []
+    out: list[tuple[list[_Pattern], str | None]] = []
+    for el in group.elements:
+        if isinstance(el, _Pattern):
+            plain.append(el)
+        elif isinstance(el, tuple) and el and el[0] == "graph":
+            term, sub = el[1], el[2]
+            if term.startswith("?"):
+                raise SparqlError(
+                    "GRAPH in update templates must be a constant IRI")
+            pats = [e for e in sub.elements if isinstance(e, _Pattern)]
+            if len(pats) != len(sub.elements):
+                raise SparqlError(
+                    "GRAPH template blocks must be plain triple patterns")
+            out.append((pats, _expand(term, prefixes)))
+        else:
+            raise SparqlError("update templates must be triple patterns "
+                              "or GRAPH blocks")
+    if plain:
+        out.insert(0, (plain, with_graph))
+    return out
+
+
+def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
+    """SPARQL 1.1 Update with graph scope over an immutable quads frame
+    (``graph`` column, NULL = default graph): returns the NEW quads frame
+    — snapshot-table semantics, like :func:`update`.
+
+    Supported: ``CLEAR``/``DROP`` ``[SILENT] (GRAPH <g> | DEFAULT | NAMED
+    | ALL)``; ``CREATE [SILENT] GRAPH <g>`` (a no-op — graphs exist
+    implicitly in the quads model, so CREATE cannot fail and CLEAR ≡ DROP);
+    ``MOVE/COPY/ADD [SILENT] (DEFAULT|[GRAPH] <g>) TO (DEFAULT|[GRAPH]
+    <g>)``; ``INSERT DATA``/``DELETE DATA`` with ``GRAPH { }`` blocks;
+    and the template form with ``WITH <g>``, ``USING <g>`` dataset
+    clauses, and ``GRAPH { }`` template blocks.
+
+    Deletion matches on (subj, pred, obj_lexical, obj_kind, graph) —
+    null-safe on graph, so default-graph rows delete correctly."""
+    toks, prefixes = _prep(sparql)
+    if not toks:
+        raise SparqlError("empty update")
+    if "graph" not in quads.columns:
+        raise SparqlError("update_quads requires a quads frame "
+                          "(a 'graph' column); use update() for triples")
+    spark = quads.sparkSession
+    gnull = F.col("graph").isNull()
+
+    def gmatch(kind: str, iri: str | None):
+        if kind == "default":
+            return gnull
+        if kind == "named":
+            return ~gnull
+        if kind == "all":
+            return F.lit(True)
+        # null-safe: ~(NULL == iri) is NULL and would silently drop the
+        # default graph's rows from every negated filter
+        return F.col("graph").eqNullSafe(F.lit(iri))
+
+    head = toks[0].upper()
+    i = 1
+    if head in ("CREATE", "DROP", "CLEAR"):
+        if i < len(toks) and toks[i].upper() == "SILENT":
+            i += 1
+        kind, iri, i = _graph_ref(toks, i, prefixes)
+        if toks[i:]:
+            raise SparqlError(f"unexpected token after {head}: {toks[i]!r}")
+        if head == "CREATE":
+            if kind != "iri":
+                raise SparqlError("CREATE takes GRAPH <iri>")
+            return quads
+        return quads.where(~gmatch(kind, iri))
+
+    if head in ("MOVE", "COPY", "ADD"):
+        if i < len(toks) and toks[i].upper() == "SILENT":
+            i += 1
+        skind, siri, i = _graph_ref(toks, i, prefixes)
+        if i >= len(toks) or toks[i].upper() != "TO":
+            raise SparqlError(f"{head} requires TO")
+        dkind, diri, i = _graph_ref(toks, i + 1, prefixes)
+        if toks[i:]:
+            raise SparqlError(f"unexpected token after {head}: {toks[i]!r}")
+        for k in (skind, dkind):
+            if k not in ("default", "iri"):
+                raise SparqlError(f"{head} takes DEFAULT or GRAPH <iri>")
+        if (skind, siri) == (dkind, diri):
+            return quads
+        moved = quads.where(gmatch(skind, siri)).withColumn(
+            "graph",
+            F.lit(diri) if dkind == "iri" else F.lit(None).cast("string"))
+        if head == "ADD":
+            return quads.unionByName(moved).distinct()
+        out = quads.where(~gmatch(dkind, diri))
+        if head == "MOVE":
+            out = out.where(~gmatch(skind, siri))
+        return out.unionByName(moved).distinct()
+
+    def apply_q(delete_df: DataFrame | None,
+                insert_df: DataFrame | None) -> DataFrame:
+        out = quads
+        if delete_df is not None:
+            d = delete_df.select(
+                *_CORE,
+                F.coalesce("graph", F.lit("")).alias("_g")).distinct()
+            out = (out.withColumn("_g", F.coalesce("graph", F.lit("")))
+                   .join(d, _CORE + ["_g"], "left_anti").drop("_g"))
+        if insert_df is not None:
+            out = out.unionByName(
+                insert_df.select(*_QCORE).distinct(),
+                allowMissingColumns=True)
+        return out
+
+    def ground_quads(group: _Group) -> DataFrame:
+        rows: list[tuple] = []
+        for el in group.elements:
+            if isinstance(el, tuple) and el and el[0] == "graph":
+                term, sub = el[1], el[2]
+                if term.startswith("?"):
+                    raise SparqlError("GRAPH in DATA blocks must be an IRI")
+                g = _expand(term, prefixes)
+                rows += [r + (g,) for r in _ground_rows(sub, prefixes)]
+            else:
+                one = _Group(elements=[el])
+                rows += [r + (None,) for r in _ground_rows(one, prefixes)]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj_lexical string, "
+                  "obj_kind string, graph string")
+
+    if head in ("INSERT", "DELETE") and len(toks) > 1 \
+            and toks[1].upper() == "DATA":
+        if len(toks) < 3 or toks[2] != "{":
+            raise SparqlError(f"{head} DATA requires a group")
+        group, j = _parse_group(toks, 3)
+        if toks[j:]:
+            raise SparqlError(f"unexpected token after DATA: {toks[j]!r}")
+        df = ground_quads(group)
+        return apply_q(df, None) if head == "DELETE" else apply_q(None, df)
+
+    with_graph: str | None = None
+    if head == "WITH":
+        if len(toks) < 2:
+            raise SparqlError("WITH requires a graph IRI")
+        with_graph = _expand(toks[1], prefixes)
+        toks = toks[2:]
+        head = toks[0].upper() if toks else ""
+
+    # [DELETE {t}] [INSERT {t}] (USING [NAMED] <g>)* WHERE { group }
+    i = 0
+    del_tg: _Group | None = None
+    ins_tg: _Group | None = None
+    while i < len(toks) and toks[i].upper() in ("DELETE", "INSERT"):
+        kw = toks[i].upper()
+        if kw == "DELETE" and toks[i + 1 : i + 2] \
+                and toks[i + 1].upper() == "WHERE":
+            # DELETE WHERE { patterns }: the group is its own template
+            if toks[i + 2 : i + 3] != ["{"]:
+                raise SparqlError("DELETE WHERE requires a group")
+            group, j = _parse_group(toks, i + 3)
+            if toks[j:]:
+                raise SparqlError(
+                    f"unexpected token after DELETE WHERE: {toks[j]!r}")
+            del_tg, ins_tg = group, None
+            return _apply_templates(quads, spark, prefixes, with_graph,
+                                    [], group, del_tg, ins_tg, apply_q)
+        if toks[i + 1 : i + 2] != ["{"]:
+            raise SparqlError(f"{kw} requires a template group")
+        tg, i = _parse_group(toks, i + 2)
+        if kw == "DELETE":
+            if del_tg is not None:
+                raise SparqlError("duplicate DELETE template")
+            del_tg = tg
+        else:
+            if ins_tg is not None:
+                raise SparqlError("duplicate INSERT template")
+            ins_tg = tg
+    if del_tg is None and ins_tg is None:
+        raise SparqlError("expected an update operation")
+    using: list[str] = []
+    while i < len(toks) and toks[i].upper() == "USING":
+        i += 1
+        if i < len(toks) and toks[i].upper() == "NAMED":
+            raise SparqlError("USING NAMED is not supported yet")
+        using.append(_expand(toks[i], prefixes))
+        i += 1
+    if toks[i : i + 2] != ["WHERE", "{"] and not (
+            i < len(toks) and toks[i].upper() == "WHERE"
+            and toks[i + 1 : i + 2] == ["{"]):
+        raise SparqlError("update template form requires WHERE { ... }")
+    group, j = _parse_group(toks, i + 2)
+    if toks[j:]:
+        raise SparqlError(f"unexpected token after WHERE: {toks[j]!r}")
+    return _apply_templates(quads, spark, prefixes, with_graph, using,
+                            group, del_tg, ins_tg, apply_q)
+
+
+def _apply_templates(quads, spark, prefixes, with_graph, using, group,
+                     del_tg, ins_tg, apply_q):
+    """Compile the WHERE group against the scoped dataset and instantiate
+    the (possibly GRAPH-scoped) templates."""
+    if using:
+        scope = quads.where(F.col("graph").isin(using))
+    elif with_graph is not None:
+        scope = quads.where(F.col("graph") == with_graph)
+    else:
+        scope = quads.where(F.col("graph").isNull())
+    # top-level patterns see the scoped "default" graph; GRAPH patterns in
+    # WHERE see the full dataset
+    want = set()
+    for tg in (del_tg, ins_tg):
+        if tg is not None:
+            for pats, _ in _flatten_template(tg, with_graph, prefixes):
+                want |= _template_obj_vars(pats)
+    plan, bound = _compile_group(scope.drop("graph"), group, prefixes,
+                                 quads=quads, want_meta=want)
+
+    def inst(tg: _Group | None) -> DataFrame | None:
+        if tg is None:
+            return None
+        parts = []
+        for pats, g in _flatten_template(tg, with_graph, prefixes):
+            part = _instantiate(quads, pats, plan, bound, prefixes)
+            parts.append(part.withColumn("graph", F.lit(g)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return apply_q(inst(del_tg), inst(ins_tg))
