@@ -152,6 +152,33 @@ def test_quality_features(spark):
     assert rows[1]["stopword_ratio"] > 0
 
 
+def test_quality_features_multilingual_stopwords(spark):
+    """With lang_col, non-English docs gain the stopword component (German
+    function words counted with the German list, zero with the English
+    one); English rows are byte-identical to the default path."""
+    de = ("der hund springt über den faulen hund und das ist was wir "
+          "gesagt haben als sie dort waren weil es nicht das gleiche war")
+    en = "the quick brown fox jumps over the lazy dog in the park"
+    df = spark.createDataFrame(
+        [(1, de, "de"), (2, en, "en")],
+        "doc_id long, text string, lang string",
+    )
+    plain = {r["doc_id"]: r for r in
+             textstats.quality_features(df).collect()}
+    aware = {r["doc_id"]: r for r in
+             textstats.quality_features(df, lang_col="lang").collect()}
+    # only the DE/EN homograph "was" hits the English list
+    assert plain[1]["stopword_ratio"] < 0.05
+    assert aware[1]["stopword_ratio"] > 0.3
+    assert aware[1]["quality_score"] > plain[1]["quality_score"]
+    assert tuple(aware[2]) == tuple(plain[2])  # en path unchanged
+    # unknown language falls back to the English list
+    fr = spark.createDataFrame([(3, en, "xx")],
+                               "doc_id long, text string, lang string")
+    fb = textstats.quality_features(fr, lang_col="lang").first()
+    assert fb["stopword_ratio"] == plain[2]["stopword_ratio"]
+
+
 def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "different")],

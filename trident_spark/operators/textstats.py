@@ -31,18 +31,57 @@ _STOPWORDS = (
     "be are from"
 ).split()
 
+_STOPWORDS_BY_LANG: dict[str, list[str]] = {}
+
+
+def _stopwords_for(lang: str) -> list[str]:
+    """Per-language stopword lists derived from the lang-ID seed corpora
+    (frequent short function words); English keeps the curated list."""
+    if lang == "en":
+        return _STOPWORDS
+    if not _STOPWORDS_BY_LANG:
+        for lg, seed in _SEED_TEXT.items():
+            counts: dict[str, int] = {}
+            for w in seed.split():
+                if len(w) <= 5:
+                    counts[w] = counts.get(w, 0) + 1
+            top = sorted(((c, w) for w, c in counts.items() if c >= 2),
+                         key=lambda x: (-x[0], x[1]))
+            _STOPWORDS_BY_LANG[lg] = [w for _, w in top[:25]]
+    return _STOPWORDS_BY_LANG.get(lang, _STOPWORDS)
+
 
 def quality_features(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     lang_col: str | None = None) -> DataFrame:
     """Deterministic quality features (all JVM-side, oracle-mirrorable):
     token count, mean token length, punctuation ratio, stopword ratio,
-    uppercase ratio, and a blended [0,1] quality score."""
+    uppercase ratio, and a blended [0,1] quality score.
+
+    ``lang_col`` (e.g. the output of :func:`lang_id`) switches the
+    stopword list per row to the language's own function words — without
+    it, non-English docs silently lose the stopword component of the
+    score.  Still pure Catalyst: one chained CASE over constant arrays."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(text_col, r"[A-Z]", ""))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    if lang_col is None:
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    else:
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+        def _count_in(words):
+            # NB: a 2-arg lambda (even with a default) is read by the HOF
+            # API as (element, index) — a closure factory is required
+            return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+        for lg in _SEED_TEXT:
+            if lg == "en":
+                continue
+            n_stop = F.when(
+                F.col(lang_col) == lg, _count_in(_stopwords_for(lg)),
+            ).otherwise(n_stop)
     mean_tok_len = F.length(F.regexp_replace(text_col, r"\s+", "")) / n_tokens
 
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
