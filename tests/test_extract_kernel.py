@@ -304,6 +304,12 @@ _TO_IRI_REFS = [
     "./same", "../up", "/dot./x", "/x/.hidden", "..", ".",
     "/üñïcode", "päge.html", "/path with space", "/q?x=1", "/semi;p=1",
     "/!$&'()*+,;=:@", "odd\ttab", "/end/", "trailing.", "/a//b",
+    # query/fragment tails on the concat fast path
+    "/p?x=1#f", "page?x", "a#b", "?", "#", "a?b?c", "x#y#z", "/p?q=%41",
+    "p?ü=1", "/p#fräg", "sub/q?a=/b:c", "/p?#", "/p?a=1&b=2",
+    # leading-../ ancestor climbing
+    "../x", "../../x", "../../../deep", "../x#me", "../a/b?q=1",
+    "../", "../../", "../x:y", "..//x", "../x/../y", "a/../b",
 ]
 
 
@@ -334,6 +340,8 @@ def test_to_iri_fast_path_matches_slow_fuzz():
             ref = "/" + ref
         if rng.random() < 0.15:
             ref = "./" + ref
+        if rng.random() < 0.25:
+            ref = "../" * rng.randint(1, 4) + ref
         got = _Ctx(base).to_iri(ref)
         want = _to_iri_slow(base, ref)
         assert got == want, (base, ref, got, want)
@@ -350,3 +358,45 @@ def test_to_iri_fast_path_after_set_base():
     assert ctx.to_iri("x.css") == "https://cdn.example.net/assets/x.css"
     assert ctx.to_iri("x.css") == _to_iri_slow(
         "https://cdn.example.net/assets/", "x.css")
+
+
+def test_setup_fast_base_split_matches_slow():
+    """_setup_fast's string-split shortcut for already-normalized bases
+    must produce exactly the slow normalize→parse→components derivation
+    (differential gate per the fast-path rule, CLAUDE.md #8)."""
+    import random
+
+    from trident_spark.kernels import iri as K
+    from trident_spark.kernels.extract import _DOTSEG_RE, _Ctx
+
+    def slow(base_url):
+        try:
+            b = K.parse_ref(base_url)
+        except K.IRIError:
+            return (None, "/")
+        try:
+            nb = K.normalize(b)
+            c = K.components(K.parse_ref(nb))
+        except K.IRIError:
+            return (None, "/")
+        path = c.path or ""
+        if c.authority is None or _DOTSEG_RE.search(path):
+            return (None, "/")
+        return (f"{c.scheme}://{c.authority}",
+                path[: path.rfind("/") + 1] if "/" in path else "/")
+
+    hosts = ["example.org", "EXAMPLE.org", "a_b.example", "ex~tilde.org",
+             "xn--bcher-kva.example", "example.com.", "bücher.example",
+             "127.0.0.1", "example.org:8080", "example.org:80",
+             "example.org:443", "user@example.org", "[2001:db8::1]"]
+    paths = ["/", "/a/b/", "/a/b/c.html", "", "/a/./b/", "/a/../b/",
+             "/%41/", "/%7e/", "/ü/", "/a//b/", "/:@/x", "/trailing.",
+             "/a b/", "/q's/", "/(x)/"]
+    tails = ["", "?q=1", "?a'b", "#frag", "?q=1#f"]
+    schemes = ["http", "https", "HTTP", "file", "ftp"]
+    rng = random.Random(99)
+    for _ in range(3000):
+        base = (f"{rng.choice(schemes)}://{rng.choice(hosts)}"
+                f"{rng.choice(paths)}{rng.choice(tails)}")
+        ctx = _Ctx(base)
+        assert (ctx._fast_prefix, ctx._fast_dir) == slow(base), base

@@ -222,46 +222,67 @@ def _parse_attrs(s: str) -> tuple[dict, bool]:
     return attrs, s[last_end:].strip() == "/"
 
 
-def parse_html(html: bytes | str) -> Node:
+_MARKUP_GI = _MARKUP_RE.groupindex
+_END_I, _START_I, _ATTRS_I = (_MARKUP_GI["end"], _MARKUP_GI["start"],
+                              _MARKUP_GI["attrs"])
+
+
+def parse_html(html: bytes | str, _collect: dict | None = None) -> Node:
     """Fast regex-tokenizer tree builder (~3× html.parser); behavior-
     equivalent to :func:`parse_html_ref`, enforced by a differential test
-    over the synthetic corpora plus handwritten edge cases."""
+    over the synthetic corpora plus handwritten edge cases.
+
+    ``_collect``, when given, receives {"script": [...], "base": [...]}
+    node lists gathered during the build — saves extraction a full-tree
+    traversal per interest."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     root = Node("#root", {}, None)
     cur = root
     pos, n = 0, len(html)
+    search = _MARKUP_RE.search
+    scripts = bases = None
+    if _collect is not None:
+        scripts = _collect.setdefault("script", [])
+        bases = _collect.setdefault("base", [])
     while pos < n:
-        m = _MARKUP_RE.search(html, pos)
+        m = search(html, pos)
         if m is None:
             data = html[pos:]
             if data:
                 cur.children.append(unescape(data) if "&" in data else data)
             break
-        if m.start() > pos:
-            data = html[pos : m.start()]
+        start = m.start()
+        if start > pos:
+            data = html[pos:start]
             cur.children.append(unescape(data) if "&" in data else data)
-        tok = m.group(0)
-        if m.end() == n and tok[1] in "!?" and not (
-            tok.endswith("-->") if tok.startswith("<!--")
-            else tok.endswith("]]>") if tok.startswith("<![CDATA[")
-            else tok.endswith(">")
-        ):
-            # unterminated comment/declaration/PI at EOF: html.parser emits
-            # the raw tail as character data — match it
-            cur.children.append(unescape(tok) if "&" in tok else tok)
-            break
-        pos = m.end()
-        tag = m.group("start")
+        end = m.end()
+        if end == n:
+            tok = m.group(0)
+            if tok[1] in "!?" and not (
+                tok.endswith("-->") if tok.startswith("<!--")
+                else tok.endswith("]]>") if tok.startswith("<![CDATA[")
+                else tok.endswith(">")
+            ):
+                # unterminated comment/declaration/PI at EOF: html.parser
+                # emits the raw tail as character data — match it
+                cur.children.append(unescape(tok) if "&" in tok else tok)
+                break
+        pos = end
+        end_tag, tag, raw_attrs = m.group(_END_I, _START_I, _ATTRS_I)
         if tag is not None:
             tag = tag.lower()
-            raw_attrs = m.group("attrs")
             if raw_attrs:
                 attrs, self_closing = _parse_attrs_cached(raw_attrs)
             else:
                 attrs, self_closing = {}, False
             node = Node(tag, attrs, cur)
             cur.children.append(node)
+            if scripts is not None:
+                if tag == "script":
+                    scripts.append(node)
+                elif tag == "base":
+                    bases.append(node)
             if tag in _RAWTEXT_CLOSE and not self_closing:
                 # CDATA content element: raw text until the literal close
                 # tag; with no close tag html.parser DROPS the tail — match
@@ -275,7 +296,6 @@ def parse_html(html: bytes | str) -> Node:
             elif tag not in _VOID_TAGS and not self_closing:
                 cur = node
             continue
-        end_tag = m.group("end")
         if end_tag is not None:
             end_tag = end_tag.lower()
             nn = cur
@@ -313,7 +333,19 @@ _SCHEME_PREFIX_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 # "." / ".." segments (remove_dot_segments is the identity) — under these,
 # resolve+normalize collapse to string concatenation with a normalized base
 _SAFE_REL_RE = re.compile(r"^[A-Za-z0-9\-._~/!$&'()*+,;=:@]+$")
+_SAFE_TAIL_RE = re.compile(r"^[A-Za-z0-9\-._~/!$&'()*+,;=:@?#]+$")
 _DOTSEG_RE = re.compile(r"(^|/)\.\.?(/|$)")
+# an absolute IRI this regex matches is a fixpoint of normalize(): lowercase
+# scheme, lowercase portless reg-name host, non-empty path of safe ASCII
+# chars with no %-escapes (nothing to case-fold or decode), optional safe
+# query — so the per-page base prefix/dir can be derived by string
+# splitting without the normalize→parse→components round-trip.
+# Differentially fuzzed vs the slow path in tests/test_extract_kernel.py.
+_FAST_BASE_RE = re.compile(
+    r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://"
+    r"(?P<auth>[a-z0-9\-._~]+)"
+    r"(?P<path>/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*)"
+    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$")
 
 
 class _Ctx:
@@ -335,6 +367,17 @@ class _Ctx:
         self._fast_dir = "/"
         if self.base is None:
             return
+        m = _FAST_BASE_RE.match(self.base.iri)
+        if m is not None and "xn--" not in m.group("auth") \
+                and not _DOTSEG_RE.search(m.group("path")):
+            # (punycode labels excluded: normalize renders them as Unicode)
+            # base is already in normalized form: split it directly —
+            # skips a full normalize→parse→components round-trip per page
+            self._fast_prefix = f"{m.group('scheme')}://{m.group('auth')}"
+            path = m.group("path")
+            self._fast_dir = path[: path.rfind("/") + 1]
+            self._set_ancestors()
+            return
         try:
             nb = K.normalize(self.base)
             c = K.components(K.parse_ref(nb))
@@ -345,6 +388,18 @@ class _Ctx:
             return
         self._fast_prefix = f"{c.scheme}://{c.authority}"
         self._fast_dir = path[: path.rfind("/") + 1] if "/" in path else "/"
+        self._set_ancestors()
+
+    def _set_ancestors(self) -> None:
+        """Base-dir ancestor chain for leading-'../' refs: [dir, parent,
+        ..., '/'] — '../'×k resolves to element min(k, len-1) (excess
+        '..' at the root is dropped, RFC 3986 §5.2.4)."""
+        d = self._fast_dir
+        anc = [d]
+        while d != "/":
+            d = d[: d.rfind("/", 0, len(d) - 1) + 1]
+            anc.append(d)
+        self._fast_anc = anc
 
     def set_base(self, href: str) -> None:
         if self.base is not None:
@@ -381,21 +436,50 @@ class _Ctx:
         # resolve+normalize is concatenation.  A ':' before the first '/'
         # of a path-relative ref would be the ambiguous scheme-like form
         # parse_ref rejects, so those fall through to the slow path.
-        if (self._fast_prefix is not None
-                and "//" not in ref  # parse_ref rejects // inside paths
-                and _SAFE_REL_RE.match(ref)
-                and not _DOTSEG_RE.search(ref)):
-            # "//host/x" is a network-path reference (new authority) —
-            # only single-slash path-absolute refs take the concat shortcut
-            if ref.startswith("/"):
-                if not ref.startswith("//"):
-                    value = self._fast_prefix + ref
-                    self._norm_cache[ref] = value
-                    return value
-            elif ":" not in ref:
-                value = self._fast_prefix + self._fast_dir + ref
-                self._norm_cache[ref] = value
-                return value
+        # A safe query/fragment tail rides along verbatim (normalize never
+        # touches %-free safe-ASCII query/fragment chars); refs with an
+        # EMPTY path ("?q", "#f") resolve against the base's full path,
+        # not its directory, so they take the slow path.
+        if self._fast_prefix is not None:
+            cut = len(ref)
+            q = ref.find("?")
+            h = ref.find("#")
+            if q >= 0:
+                cut = q
+            if 0 <= h < cut:
+                cut = h
+            path_part, tail = ref[:cut], ref[cut:]
+            if (path_part
+                    and "//" not in path_part  # parse_ref rejects these
+                    and _SAFE_REL_RE.match(path_part)
+                    and (not tail or (_SAFE_TAIL_RE.match(tail)
+                                      and tail.count("#") <= 1))):
+                # leading '../' segments climb the precomputed ancestor
+                # chain; any OTHER dot segment still takes the slow path
+                rel, up = path_part, 0
+                while rel.startswith("../"):
+                    up += 1
+                    rel = rel[3:]
+                if not _DOTSEG_RE.search(rel) and rel != "..":
+                    # "//host/x" is a network-path reference (new
+                    # authority) — only single-slash path-absolute refs
+                    # take the shortcut
+                    if up == 0:
+                        if path_part.startswith("/"):
+                            value = self._fast_prefix + ref
+                            self._norm_cache[ref] = value
+                            return value
+                        if ":" not in path_part:
+                            value = (self._fast_prefix + self._fast_dir
+                                     + ref)
+                            self._norm_cache[ref] = value
+                            return value
+                    elif ":" not in rel:
+                        anc = self._fast_anc
+                        base_dir = anc[min(up, len(anc) - 1)]
+                        value = (self._fast_prefix + base_dir + rel + tail)
+                        self._norm_cache[ref] = value
+                        return value
         try:
             if self.base is not None:
                 resolved = K.resolve(self.base, ref).iri
@@ -574,8 +658,10 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
-def _extract_jsonld(root: Node, ctx: _Ctx, out: list[RawTriple]) -> None:
-    for node in root.iter():
+def _extract_jsonld(root: Node, ctx: _Ctx, out: list[RawTriple],
+                    script_nodes: list[Node] | None = None) -> None:
+    nodes = script_nodes if script_nodes is not None else root.iter()
+    for node in nodes:
         if (
             node.tag == "script"
             and node.attrs.get("type", "").strip().lower() == "application/ld+json"
@@ -856,20 +942,18 @@ def extract_page(
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
+    collected: dict = {}
     try:
-        root = parse_html(html)
+        root = parse_html(html, _collect=collected)
     except Exception as e:  # noqa: BLE001 — defensive: parser edge cases
         return [], "", f"html parse error: {e}"
 
     ctx = _Ctx(url)
-    # honour <base href> — byte-prefilter before walking the whole tree
-    # (the walk costs more than the whole-page substring check and <base>
-    # is rare on real crawls)
-    if "<base" in html:
-        for node in root.iter():
-            if node.tag == "base" and node.attrs.get("href"):
-                ctx.set_base(node.attrs["href"])
-                break
+    # honour <base href> — base nodes were collected during the parse
+    for node in collected["base"]:
+        if node.attrs.get("href"):
+            ctx.set_base(node.attrs["href"])
+            break
 
     page_subj = ctx.to_iri("") if ctx.base is not None else None
 
@@ -877,7 +961,7 @@ def extract_page(
     # per-extractor byte prefilters: a page with no marker substring cannot
     # produce triples for that extractor, so skip its full-tree walk
     if do_jsonld and "ld+json" in html:
-        _extract_jsonld(root, ctx, out)
+        _extract_jsonld(root, ctx, out, collected["script"])
     if do_rdfa and ("typeof" in html or "property" in html or "about" in html
                     or "vocab" in html):
         _extract_rdfa(root, ctx, page_subj, out)
