@@ -958,11 +958,148 @@ def _meta_vars(elements: list) -> set[str]:
     return need
 
 
+def _all_vars(obj) -> set[str]:
+    """Every ?var mentioned anywhere inside a parsed element (patterns,
+    filter token lists, subgroups, VALUES, BIND, subselect tokens...)."""
+    if isinstance(obj, _Pattern):
+        return _pattern_vars(obj)
+    if isinstance(obj, _Group):
+        out: set[str] = set()
+        for el in obj.elements:
+            out |= _all_vars(el)
+        return out
+    if isinstance(obj, str):
+        return {obj[1:]} if obj.startswith("?") else set()
+    if isinstance(obj, tuple) and obj:
+        # element shapes that store var names WITHOUT the '?' prefix
+        if obj[0] == "values":
+            return set(obj[1])
+        if obj[0] == "bind":
+            return _all_vars(obj[1]) | {obj[2]}
+    if isinstance(obj, (list, tuple)):
+        out = set()
+        for item in obj:
+            out |= _all_vars(item)
+        return out
+    return set()
+
+
+# --- dictionary-encoded BGP runs -------------------------------------------
+# Consecutive plain triple patterns compile to equi-joins on 64-bit term
+# ids (xxhash64 over the term's kind/lexical/lang/datatype identity) instead
+# of lexical strings: intermediate joins shuffle longs, and variables used
+# only as join keys are never materialized at all.  Lexical values come
+# back via one small decode join per *referenced* variable against the
+# (already pred-filtered) scan that bound it.  This also makes joins
+# term-correct: a literal "x" never joins an IRI "x".
+
+_ID_EXPRS = None
+
+
+def _id_exprs():
+    global _ID_EXPRS
+    if _ID_EXPRS is None:
+        subj_kind = F.when(F.col("subj").startswith("_:"),
+                           F.lit("blank")).otherwise(F.lit("iri"))
+        _ID_EXPRS = {
+            "subj": F.xxhash64(subj_kind, F.col("subj"), F.lit(""),
+                               F.lit("")),
+            "pred": F.xxhash64(F.lit("iri"), F.col("pred"), F.lit(""),
+                               F.lit("")),
+            "obj": F.xxhash64(F.col("obj_kind"), F.col("obj_lexical"),
+                              F.coalesce(F.col("obj_lang"), F.lit("")),
+                              F.coalesce(F.col("obj_datatype"),
+                                         F.lit(""))),
+        }
+    return _ID_EXPRS
+
+
+_LEX_COLS = {"subj": "subj", "pred": "pred", "obj": "obj_lexical"}
+
+
+def _run_pattern_scan(triples: DataFrame, pat: _Pattern,
+                      prefixes: dict[str, str]
+                      ) -> tuple[DataFrame, dict[str, str]]:
+    """Constant-filtered scan + {slot: var} map for one run pattern."""
+    scan = triples
+    rename: dict[str, str] = {}
+    for slot, term in (("subj", pat.subj), ("pred", pat.pred),
+                       ("obj", pat.obj)):
+        if term.startswith("?"):
+            rename[slot] = term[1:]
+            continue
+        col = _LEX_COLS[slot]
+        if slot == "obj" and term.startswith('"'):
+            value = re.match(r'"((?:[^"\\]|\\.)*)"', term).group(1)
+            value = value.replace("\\\"", '"').replace("\\\\", "\\")
+            scan = scan.where((F.col("obj_kind") == "literal")
+                              & (F.col(col) == value))
+        else:
+            if slot == "obj":
+                scan = scan.where(F.col("obj_kind") == "iri")
+            scan = scan.where(F.col(col) == _expand(term, prefixes))
+    return scan, rename
+
+
+def _run_eligible(pat, meta: set[str], extra) -> bool:
+    if extra is not None or isinstance(pat.pred, tuple) \
+            or isinstance(pat.obj, _Quoted):
+        return False
+    vars_ = [t[1:] for t in (pat.subj, pat.pred, pat.obj)
+             if isinstance(t, str) and t.startswith("?")]
+    if len(vars_) != len(set(vars_)):
+        return False  # repeated-var patterns use the single-pattern path
+    if meta and pat.obj.startswith("?") and pat.obj[1:] in meta:
+        return False  # metadata attachment stays on the single path
+    return True
+
+
+def _compile_run_ids(triples: DataFrame, run: list[_Pattern],
+                     prefixes: dict[str, str],
+                     needed: set[str] | None
+                     ) -> tuple[DataFrame, set[str]]:
+    """A run of ≥2 plain patterns → id-joined solutions with lexical
+    columns for the ``needed`` variables (all of them when None)."""
+    ids = _id_exprs()
+    scans: list[tuple[DataFrame, dict[str, str]]] = []
+    first_binder: dict[str, tuple[DataFrame, str]] = {}
+    for pat in run:
+        scan, rename = _run_pattern_scan(triples, pat, prefixes)
+        scans.append((scan, rename))
+        for slot, v in rename.items():
+            first_binder.setdefault(v, (scan, slot))
+
+    plan: DataFrame | None = None
+    bound: set[str] = set()
+    for scan, rename in scans:
+        proj = [ids[slot].alias(f"_tid_{v}") for slot, v in rename.items()]
+        idscan = (scan.select(*proj).distinct() if proj
+                  else scan.select(F.lit(1).alias("_one")).limit(1))
+        vars_ = set(rename.values())
+        if plan is None:
+            plan = idscan
+        else:
+            keys = [f"_tid_{v}" for v in sorted(bound & vars_)]
+            plan = plan.join(idscan, keys) if keys \
+                else plan.crossJoin(idscan)
+        bound |= vars_
+
+    decode = bound if needed is None else (bound & needed)
+    for v in sorted(decode):
+        scan, slot = first_binder[v]
+        dec = scan.select(ids[slot].alias(f"_tid_{v}"),
+                          F.col(_LEX_COLS[slot]).alias(v)).distinct()
+        plan = plan.join(dec, f"_tid_{v}")
+    drop = [c for c in plan.columns if c.startswith("_tid_") or c == "_one"]
+    return plan.drop(*drop), decode
+
+
 def _compile_group(triples: DataFrame, group: _Group,
                    prefixes: dict[str, str],
                    quads: DataFrame | None = None,
                    extra: dict[str, str] | None = None,
-                   want_meta: set[str] | None = None
+                   want_meta: set[str] | None = None,
+                   needed: set[str] | None = None
                    ) -> tuple[DataFrame, set[str]]:
     plan: DataFrame | None = None
     bound: set[str] = set()
@@ -974,8 +1111,38 @@ def _compile_group(triples: DataFrame, group: _Group,
     meta_filter = _meta_vars(group.elements)
     meta = meta_filter | (want_meta or set())
     meta_provided: set[str] = set()
-    for idx, el in enumerate(_reorder_group(group.elements)):
-        if isinstance(el, _Pattern):
+    # batch consecutive id-join-eligible patterns into BGP runs
+    elements: list = []
+    buf: list[_Pattern] = []
+
+    def _flush():
+        if len(buf) >= 2:
+            elements.append(("bgp_run", list(buf)))
+        elif buf:
+            elements.append(buf[0])
+        buf.clear()
+
+    for el in _reorder_group(group.elements):
+        if isinstance(el, _Pattern) and _run_eligible(el, meta, extra):
+            buf.append(el)
+        else:
+            _flush()
+            elements.append(el)
+    _flush()
+
+    for idx, el in enumerate(elements):
+        if isinstance(el, tuple) and el and el[0] == "bgp_run":
+            if needed is None:
+                run_needed = None
+            else:
+                run_needed = set(needed) | (want_meta or set())
+                for other in elements:
+                    if other is not el:
+                        run_needed |= _all_vars(other)
+            scan, vars_ = _compile_run_ids(triples, el[1], prefixes,
+                                           run_needed)
+            how = "inner"
+        elif isinstance(el, _Pattern):
             pat_meta = meta
             if meta and not isinstance(el.obj, _Quoted) \
                     and el.obj.startswith("?") and el.obj[1:] in meta:
@@ -1232,7 +1399,12 @@ def _compile_select(triples: DataFrame, toks: list[str],
     group, i = _parse_group(toks, w + 2)
     tail = toks[i:]
 
-    plan, bound = _compile_group(triples, group, prefixes, quads)
+    # projection surface: only these variables ever need lexical values —
+    # id-joined BGP runs skip decoding everything else (SELECT * → all)
+    needed = (None if items is None
+              else _all_vars(toks[1:w]) | _all_vars(tail))
+    plan, bound = _compile_group(triples, group, prefixes, quads,
+                                 needed=needed)
 
     # tail: GROUP BY ?v... | HAVING(expr) | ORDER BY [ASC|DESC] (?v)
     #     | LIMIT n | OFFSET n
