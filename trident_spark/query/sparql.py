@@ -1071,10 +1071,10 @@ def _compile_run_ids(triples: DataFrame, run: list[_Pattern],
 
     plan: DataFrame | None = None
     bound: set[str] = set()
-    for scan, rename in scans:
+    for k, (scan, rename) in enumerate(scans):
         proj = [ids[slot].alias(f"_tid_{v}") for slot, v in rename.items()]
         idscan = (scan.select(*proj).distinct() if proj
-                  else scan.select(F.lit(1).alias("_one")).limit(1))
+                  else scan.select(F.lit(1).alias(f"_tid1_{k}")).limit(1))
         vars_ = set(rename.values())
         if plan is None:
             plan = idscan
@@ -1090,7 +1090,8 @@ def _compile_run_ids(triples: DataFrame, run: list[_Pattern],
         dec = scan.select(ids[slot].alias(f"_tid_{v}"),
                           F.col(_LEX_COLS[slot]).alias(v)).distinct()
         plan = plan.join(dec, f"_tid_{v}")
-    drop = [c for c in plan.columns if c.startswith("_tid_") or c == "_one"]
+    drop = [c for c in plan.columns
+            if c.startswith("_tid_") or c.startswith("_tid1_")]
     return plan.drop(*drop), decode
 
 
@@ -1219,20 +1220,29 @@ def _compile_group(triples: DataFrame, group: _Group,
         elif el[0] == "subselect":
             scan, out_cols = _compile_select(triples, el[1], prefixes, quads)
             vars_, how = set(out_cols), "inner"
-        elif el[0] == "optional":
-            scan, vars_ = _compile_group(triples, el[1], prefixes, quads,
-                                         extra)
-            how = "left"
-        elif el[0] == "group":
-            scan, vars_ = _compile_group(triples, el[1], prefixes, quads,
-                                         extra)
-            how = "inner"
-        elif el[0] == "union":
-            left, lv = _compile_group(triples, el[1], prefixes, quads, extra)
-            right, rv = _compile_group(triples, el[2], prefixes, quads,
-                                       extra)
-            scan = left.unionByName(right, allowMissingColumns=True)
-            vars_, how = lv | rv, "inner"
+        elif el[0] in ("optional", "group", "union"):
+            # a subgroup's id-joined runs must decode anything the OUTER
+            # query can see: the projection surface plus every variable any
+            # sibling element (or the plan built so far) mentions
+            if needed is None:
+                sub_needed = None
+            else:
+                sub_needed = set(needed) | bound | (want_meta or set())
+                for other in elements:
+                    if other is not el:
+                        sub_needed |= _all_vars(other)
+            if el[0] == "union":
+                left, lv = _compile_group(triples, el[1], prefixes, quads,
+                                          extra, needed=sub_needed)
+                right, rv = _compile_group(triples, el[2], prefixes, quads,
+                                           extra, needed=sub_needed)
+                scan = left.unionByName(right, allowMissingColumns=True)
+                vars_, how = lv | rv, "inner"
+            else:
+                scan, vars_ = _compile_group(triples, el[1], prefixes,
+                                             quads, extra,
+                                             needed=sub_needed)
+                how = "left" if el[0] == "optional" else "inner"
         else:  # pragma: no cover
             raise SparqlError(f"unknown group element {el!r}")
         if plan is None:
