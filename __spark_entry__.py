@@ -1053,6 +1053,21 @@ FROM allq WHERE graph = '{DOC_BASE}/doc/0'
 """
 
 
+def q_kg_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone JSON-LD documents: serialize the doc KG as one compact
+    node object per subject, parse back with the JSON-LD reader (the same
+    kernel that parses embedded ld+json), return distinct triples — the
+    oracle is the independent SQL reconstruction."""
+    from trident_spark.pipeline.jsonld import from_jsonld, to_jsonld
+
+    triples = _distinct_triples(spark, sf_dir)
+    parsed = from_jsonld(to_jsonld(triples))
+    return parsed.select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    ).distinct()
+
+
 def q_kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TriG (named-graph Turtle): serialize the per-document quads as
     `<g> { block }` chunks, parse back with the TriG reader, return
@@ -2067,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_trig_roundtrip": q_kg_trig_roundtrip,
+        "kg_jsonld_roundtrip": q_kg_jsonld_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -2196,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
                            "obj_datatype"))),
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_trig_roundtrip": _KG_NQUADS_ORACLE,
+        "kg_jsonld_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
         "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,
