@@ -1262,3 +1262,20 @@ def test_update_quads_delete_where_default_graph(spark, quads):
     out = update_quads(quads, "DELETE WHERE { ?s a <https://schema.org/Person> }")
     assert out.where(out.graph.isNull()).count() == 0
     assert out.count() == quads.count() - 2
+
+
+def test_update_quads_using_named(spark, quads):
+    """USING NAMED defines the named-graph set for GRAPH patterns in the
+    WHERE clause; graphs outside the list are invisible."""
+    from trident_spark.query.sparql import update_quads
+
+    out = update_quads(quads, """
+        PREFIX schema: <https://schema.org/>
+        INSERT { GRAPH <http://g/seen> { ?s schema:seenIn ?g } }
+        USING NAMED <http://g/1>
+        WHERE { GRAPH ?g { ?s schema:name ?n } }
+    """)
+    seen = _q(out.where(out.graph == "http://g/seen")
+              .select("subj", "obj_lexical").collect())
+    # only g1 is a named graph of the dataset; g2's bob never matches
+    assert seen == {("http://x/alice", "http://g/1")}

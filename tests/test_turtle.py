@@ -371,3 +371,67 @@ def test_trig_roundtrip(spark):
         F.concat(F.lit(turtle_header() + "\n"), F.col("chunk")).alias("doc"))
     back = from_trig(docs)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# RDF 1.2 reifier sugar << >> and annotation blocks {| |}
+# ---------------------------------------------------------------------------
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_reifier_sugar_object_position():
+    got = parse_turtle(
+        '<http://x/s> <http://p/notes> '
+        '<< <http://x/a> <http://p/b> "c" >> .')
+    note = [t for t in got if t[1] == "http://p/notes"][0]
+    r = note[2]
+    assert note[3] == "blank" and r.startswith("_:g")
+    assert (r, RDF_NS + "reifies",
+            '<<( <http://x/a> <http://p/b> "c" )>>', "triple",
+            None, None) in got
+    # the embedded triple itself is NOT asserted
+    assert not any(t[0] == "http://x/a" for t in got)
+
+
+def test_reifier_sugar_subject_position():
+    got = parse_turtle(
+        '<< <http://x/a> <http://p/b> <http://x/c> >> '
+        '<http://p/certainty> 0.9 .')
+    cert = [t for t in got if t[1] == "http://p/certainty"][0]
+    r = cert[0]
+    assert cert[2] == "0.9"
+    assert (r, RDF_NS + "reifies",
+            "<<( <http://x/a> <http://p/b> <http://x/c> )>>", "triple",
+            None, None) in got
+
+
+def test_annotation_block():
+    got = parse_turtle("""
+        @prefix s: <https://schema.org/> .
+        <http://x/e> s:name "Eve" {| s:source <http://src/1> ;
+                                     s:certainty 0.8 |} ;
+                     s:age 30 .
+    """)
+    # the base triple IS asserted
+    assert ("http://x/e", SCHEMA + "name", "Eve", "literal", None,
+            None) in got
+    reif = [t for t in got if t[1] == RDF_NS + "reifies"][0]
+    r = reif[0]
+    assert reif[2] == '<<( <http://x/e> <https://schema.org/name> "Eve" )>>'
+    assert (r, SCHEMA + "source", "http://src/1", "iri", None, None) in got
+    certs = [t for t in got if t[1] == SCHEMA + "certainty"]
+    assert certs[0][0] == r and certs[0][2] == "0.8"
+    assert ("http://x/e", SCHEMA + "age", "30", "literal",
+            XSD + "integer", None) in got
+    assert len(got) == 5  # base + reifies + 2 annotations + age
+
+
+def test_annotation_block_in_trig():
+    from trident_spark.pipeline.turtle import parse_trig
+
+    got = parse_trig(
+        '<http://g/1> { <http://x/a> <http://p/n> "v" '
+        '{| <http://p/w> "8" |} . }')
+    assert all(t[6] == "http://g/1" for t in got)
+    assert len(got) == 3

@@ -52,6 +52,8 @@ class TurtleError(ValueError):
 _TOKEN_RE = re.compile(
     r"""
       <<\( | \)>>                                       # RDF 1.2 triple term
+    | << | >>                                           # reifier sugar
+    | \{\| | \|\}                                       # annotation block
     | <[^>]*>                                           # IRI
     | "(?:[^"\\]|\\.)*"                                 # string literal
     | @[A-Za-z][A-Za-z0-9\-]*                           # @prefix/@base/@lang
@@ -230,24 +232,43 @@ class _Parser:
                              None, None))
         return labels[0], "blank", None, None
 
+    def _triple_term_lex(self, s: str, p: str, o: tuple) -> str:
+        """(s, p, (lex, kind, dt, lang)) → canonical ``<<( … )>>`` form."""
+        s_r = s if s.startswith("_:") else self._render_canonical(
+            s, "iri", None, None)
+        return (f"<<( {s_r} "
+                f"{self._render_canonical(p, 'iri', None, None)} "
+                f"{self._render_canonical(*o)} )>>")
+
+    def _reifier(self, s: str, p: str, o: tuple) -> str:
+        """Fresh reifier blank node r with r rdf:reifies <<( s p o )>>."""
+        r = self._fresh_blank()
+        self.out.append((r, RDF_NS + "reifies",
+                         self._triple_term_lex(s, p, o), "triple",
+                         None, None))
+        return r
+
     def _object(self, tok: str) -> tuple[str, str, str | None, str | None]:
         """→ (lexical, kind, datatype, lang)."""
         if tok == "[":
             return self._bnode_property_list(), "blank", None, None
         if tok == "(":
             return self._collection()
+        if tok == "<<":
+            # RDF 1.2 reifier sugar: the embedded triple is NOT asserted;
+            # the term is a fresh reifier for it
+            s = self._subject(self._next())
+            p = self._predicate(self._next())
+            o = self._object(self._next())
+            self._expect(">>")
+            return self._reifier(s, p, o), "blank", None, None
         if tok == "<<(":
             # RDF 1.2 triple term: parse components, store canonically
             s = self._subject(self._next())
             p = self._predicate(self._next())
             o = self._object(self._next())
             self._expect(")>>")
-            s_r = s if s.startswith("_:") else self._render_canonical(
-                s, "iri", None, None)
-            lex = (f"<<( {s_r} "
-                   f"{self._render_canonical(p, 'iri', None, None)} "
-                   f"{self._render_canonical(*o)} )>>")
-            return lex, "triple", None, None
+            return self._triple_term_lex(s, p, o), "triple", None, None
         if tok.startswith("<"):
             return self._iri(tok), "iri", None, None
         if tok.startswith("_:"):
@@ -309,6 +330,14 @@ class _Parser:
             while True:  # object list
                 lex, kind, dt, lang = self._object(self._next())
                 self.out.append((subj, pred, lex, kind, dt, lang))
+                if self._peek() == "{|":
+                    # RDF 1.2 annotation: the base triple IS asserted
+                    # (already appended); a fresh reifier carries the
+                    # annotation predicate-object list
+                    self._next()
+                    r = self._reifier(subj, pred, (lex, kind, dt, lang))
+                    self._predicate_object_list(r, ends=("|}",))
+                    self._expect("|}")
                 if self._peek() == ",":
                     self._next()
                     continue
@@ -333,6 +362,13 @@ class _Parser:
         if tok == "(":
             subj = self._collection()[0]
             self._predicate_object_list(subj, ends)
+            return
+        if tok == "<<":  # reifier sugar in subject position
+            s = self._subject(self._next())
+            p = self._predicate(self._next())
+            o = self._object(self._next())
+            self._expect(">>")
+            self._predicate_object_list(self._reifier(s, p, o), ends)
             return
         subj = self._subject(tok)
         self._predicate_object_list(subj, ends)

@@ -2062,11 +2062,14 @@ def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
     if del_tg is None and ins_tg is None:
         raise SparqlError("expected an update operation")
     using: list[str] = []
+    using_named: list[str] = []
     while i < len(toks) and toks[i].upper() == "USING":
         i += 1
         if i < len(toks) and toks[i].upper() == "NAMED":
-            raise SparqlError("USING NAMED is not supported yet")
-        using.append(_expand(toks[i], prefixes))
+            i += 1
+            using_named.append(_expand(toks[i], prefixes))
+        else:
+            using.append(_expand(toks[i], prefixes))
         i += 1
     if toks[i : i + 2] != ["WHERE", "{"] and not (
             i < len(toks) and toks[i].upper() == "WHERE"
@@ -2076,11 +2079,12 @@ def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
     if toks[j:]:
         raise SparqlError(f"unexpected token after WHERE: {toks[j]!r}")
     return _apply_templates(quads, spark, prefixes, with_graph, using,
-                            group, del_tg, ins_tg, apply_q)
+                            group, del_tg, ins_tg, apply_q, using_named)
 
 
 def _apply_templates(quads, spark, prefixes, with_graph, using, group,
-                     del_tg, ins_tg, apply_q):
+                     del_tg, ins_tg, apply_q,
+                     using_named: list[str] | None = None):
     """Compile the WHERE group against the scoped dataset and instantiate
     the (possibly GRAPH-scoped) templates."""
     if using:
@@ -2090,14 +2094,20 @@ def _apply_templates(quads, spark, prefixes, with_graph, using, group,
     else:
         scope = quads.where(F.col("graph").isNull())
     # top-level patterns see the scoped "default" graph; GRAPH patterns in
-    # WHERE see the full dataset
+    # WHERE see the full dataset — unless USING/USING NAMED clauses define
+    # one, in which case the named-graph set is exactly the USING NAMED
+    # list (empty when only plain USING is given, per SPARQL 1.1 Update)
+    graph_quads = quads
+    if using or using_named:
+        graph_quads = quads.where(
+            F.col("graph").isin(using_named or []))
     want = set()
     for tg in (del_tg, ins_tg):
         if tg is not None:
             for pats, _ in _flatten_template(tg, with_graph, prefixes):
                 want |= _template_obj_vars(pats)
     plan, bound = _compile_group(scope.drop("graph"), group, prefixes,
-                                 quads=quads, want_meta=want)
+                                 quads=graph_quads, want_meta=want)
 
     def inst(tg: _Group | None) -> DataFrame | None:
         if tg is None:
