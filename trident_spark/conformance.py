@@ -216,4 +216,19 @@ HOST_NORMALIZE_CASES = [
     ("http://faß.de/p", "http://fass.de/p"),                     # nameprep ß→ss
     ("http://[::1]:80/p", "http://[::1]/p"),
     ("http://xn--fa-hia.de/p", "http://fass.de/p"),              # punycode decode
+    # hostile hosts (ref iri/autority.go:251-288 flow: lowercase →
+    # ToASCII → ToUnicode, whole-host fallback on either error, ß→ss last)
+    ("https://straße.de/a", "https://strasse.de/a"),
+    ("https://XN--BCHER-KVA.example/b", "https://bücher.example/b"),
+    # mixed-script multi-label punycode (Cyrillic IDN)
+    ("https://xn--d1acufc.xn--p1ai/x", "https://домен.рф/x"),
+    # invalid punycode label: the WHOLE host keeps its lowercased form —
+    # even when sibling labels are valid punycode
+    ("https://XN--ZZZZ999999.example/x", "https://xn--zzzz999999.example/x"),
+    ("https://xn--bcher-kva.xn--zzzz999999.example/x",
+     "https://xn--bcher-kva.xn--zzzz999999.example/x"),
+    # trailing root dot survives; empty final label is not an error
+    ("https://DOM.example.COM./x", "https://dom.example.com./x"),
+    # ZWJ inside a label: lenient punycode round-trip is the identity
+    ("http://a‍b.example/x", "http://a‍b.example/x"),
 ]

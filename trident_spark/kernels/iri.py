@@ -664,13 +664,17 @@ def _recompose(scheme, authority, path, query, fragment,
 # ---------------------------------------------------------------------------
 
 
+class _IdnaError(ValueError):
+    pass
+
+
 def _label_to_ascii(label: str) -> str:
     if label.isascii():
         return label
     try:
         return "xn--" + label.encode("punycode").decode("ascii")
     except UnicodeError:
-        return label
+        raise _IdnaError(label) from None
 
 
 def _label_to_unicode(label: str) -> str:
@@ -678,16 +682,35 @@ def _label_to_unicode(label: str) -> str:
         try:
             return label[4:].encode("ascii").decode("punycode")
         except (UnicodeError, ValueError):
-            return label
+            raise _IdnaError(label) from None
     return label
 
 
 def _host_to_ascii(host: str) -> str:
-    return ".".join(_label_to_ascii(l) for l in host.split("."))
+    try:
+        return ".".join(_label_to_ascii(l) for l in host.split("."))
+    except _IdnaError:
+        return host
 
 
 def _host_to_unicode(host: str) -> str:
-    return ".".join(_label_to_unicode(l) for l in host.split("."))
+    try:
+        return ".".join(_label_to_unicode(l) for l in host.split("."))
+    except _IdnaError:
+        return host
+
+
+def _host_idna_roundtrip(host: str) -> str:
+    """ToASCII → ToUnicode with WHOLE-HOST fallback, matching the
+    reference (iri/autority.go:256-271: either conversion failing keeps
+    the lowercased host unchanged — per-label salvage would diverge on
+    hosts mixing valid and invalid punycode labels)."""
+    try:
+        ascii_host = ".".join(_label_to_ascii(l) for l in host.split("."))
+        return ".".join(_label_to_unicode(l)
+                        for l in ascii_host.split("."))
+    except _IdnaError:
+        return host
 
 
 # ---------------------------------------------------------------------------
@@ -747,7 +770,7 @@ def normalize(s: str | ParsedRef) -> str:
         host = host.lower()
         if not host.startswith("["):
             # IDNA round-trip to canonical unicode; ß→ss per IDNA2003 nameprep
-            host = _host_to_unicode(_host_to_ascii(host)).replace("ß", "ss")
+            host = _host_idna_roundtrip(host).replace("ß", "ss")
         if port and scheme and _DEFAULT_PORTS.get(scheme) == port:
             port = ""
 
