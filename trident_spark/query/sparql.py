@@ -645,9 +645,15 @@ def _compile_path(triples: DataFrame, node: tuple,
         # so-far with itself doubles the maximum covered path length each
         # round, so a diameter-D graph converges in ceil(log2(D)) joins —
         # and the loop runs to a true fixpoint with NO round cap (a capped
-        # loop silently truncates long chains).  Each round is one equi-join
-        # shuffle on the mid node + a distinct, both checkpoint-bounded.
-        paths = _compile_path(triples, node[1], prefixes).distinct() \
+        # loop silently truncates long chains).  The closure rounds run
+        # over 64-bit endpoint hashes (16-byte rows through every shuffle
+        # instead of two lexical strings); endpoints decode once at the
+        # end against the base relation's node dictionary.
+        base = _compile_path(triples, node[1], prefixes).distinct() \
+            .localCheckpoint(eager=True)
+        paths = base.select(
+            F.xxhash64("_ps").alias("_ps"),
+            F.xxhash64("_po").alias("_po")).distinct() \
             .localCheckpoint(eager=True)
         while True:
             step = (
@@ -659,6 +665,19 @@ def _compile_path(triples: DataFrame, node: tuple,
             if not new.take(1):
                 break
             paths = paths.union(new).distinct().localCheckpoint(eager=True)
+        nodes = (
+            base.select(F.col("_ps").alias("_lex"))
+            .union(base.select("_po")).distinct()
+        )
+        dec = nodes.select(F.xxhash64("_lex").alias("_k"), "_lex")
+        paths = (
+            paths.join(dec.withColumnRenamed("_k", "_ps")
+                       .withColumnRenamed("_lex", "_ps_lex"), "_ps")
+            .join(dec.withColumnRenamed("_k", "_po")
+                  .withColumnRenamed("_lex", "_po_lex"), "_po")
+            .select(F.col("_ps_lex").alias("_ps"),
+                    F.col("_po_lex").alias("_po"))
+        )
         if kind == "star":
             paths = paths.union(_graph_nodes(triples)).distinct()
         return paths
