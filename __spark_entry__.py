@@ -4,13 +4,20 @@
   (documents → pages with embedded JSON-LD → extract → skolemize → encode)
   answering a two-pattern BGP join.
 - ``queries()``      — one entry per operator family from SURVEY.md §2:
-  RFC conformance kernels (golden-vector oracles), KG pipeline end-to-end
-  (SQL-reconstructable oracle), SPARQL 1.1/1.2 surface, RDF 1.2 triple
-  terms, dedup/clustering/sampling/similarity/text ops, streaming
-  sessionization, relational and window queries.  Three queries remain
-  rows-only with documented reasons (lang_id: corpus labels independent of
-  text; similarity_ann_ivf / embedding_near_dup_lsh: recall targets on an
+  RFC conformance kernels (golden-vector oracles, consolidated into two
+  per-kernel-family union suites), KG pipeline end-to-end
+  (SQL-reconstructable oracle), SPARQL 1.1/1.2 surface incl. graph-scoped
+  Update + function library, RDF 1.2 triple terms, Turtle/TriG/N-Quads/
+  JSON-LD round-trips, dedup/clustering/sampling/similarity/text ops,
+  streaming sessionization, relational and window queries.  Exactly 50
+  entries — the driver verifies at most the first 50, so every registered
+  query gets a hard CORRECTNESS row.  Three remain rows-only with
+  documented reasons (lang_id: corpus labels independent of text;
+  similarity_ann_ivf / embedding_near_dup_lsh: recall targets on an
   unclustered corpus) and carry pytest recall/behavior gates instead.
+- ``extra_queries()``/``extra_oracle_sql()`` — test-only mirrors outside
+  the window (consolidated singles, deliberately-quadratic verify twins of
+  the LSH scale paths), oracle-checked by the local bit-faithful mirror.
 - ``oracle_sql()``   — DuckDB equivalents, column names aligned 1:1.
 """
 
