@@ -113,3 +113,45 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     ]
     # batch reference: 3 users x 2 sessions of 3 events x 1.5
     assert sorted(got) == sorted([(u, 3, 4.5) for u in range(3)] * 2)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
+    """Duplicate texts arriving across micro-batches within the watermark
+    are dropped; distinct texts all survive; parity with batch exact_dedup
+    canonical picks (first occurrence per digest)."""
+    import datetime as dt
+
+    from trident_spark.streaming.dedup import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha text", base),
+        (2, "beta text", base + dt.timedelta(minutes=1)),
+        (3, "alpha text", base + dt.timedelta(minutes=2)),   # dup of 1
+        (4, "gamma text", base + dt.timedelta(minutes=3)),
+        (5, "beta text", base + dt.timedelta(minutes=30)),   # dup of 2
+    ]
+    src = str(tmp_path_factory.mktemp("sdedup") / "src")
+    ckpt = str(tmp_path_factory.mktemp("sdedup") / "ckpt")
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp")
+    df.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "sdedup_out"
+    q = (
+        dedup_stream(stream, watermark="2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).select("text").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha text", "beta text", "gamma text"]
