@@ -449,3 +449,65 @@ def test_embedding_centroids_exact_small(spark):
     got = {(r["grp"], r["dim"]): r["c"]
            for r in embedding_centroids(embs).collect()}
     assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 0.0}
+
+
+def test_resize_images_real_and_error_channel(spark):
+    from trident_spark.operators.multimodal import (
+        decode_ppm, resize_images, synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 12)
+    out = resize_images(media, 4, 3)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12  # nothing dropped
+    for i, r in rows.items():
+        if r["kind"] == "image":
+            assert r["resize_error"] is None
+            px = decode_ppm(bytes(r["payload"]))
+            assert px.shape == (3, 4, 3)
+            assert (r["width"], r["height"]) == (4, 3)
+        else:
+            assert r["resize_error"] is None  # pass-through untouched
+    # corrupt image payload → error channel, row survives
+    bad = media.withColumn(
+        "payload",
+        F.when(F.col("kind") == "image",
+               F.lit(b"garbage")).otherwise(F.col("payload")))
+    bad_rows = resize_images(bad, 4, 3).where("kind = 'image'").collect()
+    assert all(r["resize_error"] for r in bad_rows)
+
+
+def test_resize_deterministic_nearest_neighbor():
+    import numpy as np
+
+    from trident_spark.operators.multimodal import (
+        decode_ppm, encode_ppm, resize_image_payload,
+    )
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = decode_ppm(resize_image_payload(encode_ppm(px), 4, 4))
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    assert (up[0, 0] == px[0, 0]).all() and (up[0, 1] == px[0, 0]).all()
+    assert (up[3, 3] == px[1, 1]).all()
+
+
+def test_sample_frames_uniform_and_error_channel(spark):
+    from trident_spark.operators.multimodal import (
+        sample_frames, synthetic_media_df, synthetic_video_df,
+    )
+
+    vids = synthetic_video_df(spark, 5, n_frames=12)
+    out = sample_frames(vids, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(range(5))
+    for rows in by_id.values():
+        assert [r["frame_idx"] for r in rows] == [0, 3, 6, 9]
+        assert all(r["n_frames"] == 12 and r["frame_error"] is None
+                   and r["payload"] for r in rows)
+    # MP4 blobs (no codec) → one error row per video, stage survives;
+    # image/audio rows are not video and are dropped
+    mixed = sample_frames(synthetic_media_df(spark, 9), n_frames=4).collect()
+    assert len(mixed) == 3  # the 3 video rows
+    assert all(r["frame_error"] and r["payload"] is None for r in mixed)

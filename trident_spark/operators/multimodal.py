@@ -237,3 +237,131 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg(F.length("payload")).alias("avg_bytes"),
         F.avg("duration_ms").alias("avg_duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame sampling: the remaining multimodal transforms.  Resize is
+# REAL for PPM images (nearest-neighbor resample, numpy only).  Video frame
+# sampling is real for the uncompressed PPM-sequence container defined here
+# (concatenated P6 frames — the deterministic decodable stand-in for this
+# codec-free sandbox); compressed video (MP4 etc.) flows through the error
+# channel, never killing the stage.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = MEDIA_SCHEMA + ", resize_error string"
+FRAME_SCHEMA = ("media_id long, frame_idx int, n_frames int, "
+                "payload binary, frame_error string")
+
+
+def resize_image_payload(payload: bytes, width: int, height: int) -> bytes:
+    """PPM → PPM at (width, height), nearest-neighbor (pure numpy)."""
+    px = decode_ppm(payload)
+    ys = (np.arange(height) * px.shape[0]) // height
+    xs = (np.arange(width) * px.shape[1]) // width
+    return encode_ppm(np.ascontiguousarray(px[ys][:, xs]))
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image rows → resized payloads (+updated dims); non-images pass
+    through untouched; undecodable images carry ``resize_error``."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.to_dict("records"):
+                err = None
+                if r["kind"] == "image":
+                    try:
+                        r["payload"] = resize_image_payload(
+                            bytes(r["payload"]), width, height)
+                        r["width"], r["height"] = width, height
+                    except Exception as e:  # noqa: BLE001 — error channel
+                        err = f"resize error: {e}"
+                rows.append({**r, "resize_error": err})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "mime",
+                               "width", "height", "duration_ms",
+                               "resize_error"])
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def encode_ppm_seq(frames: list[np.ndarray]) -> bytes:
+    """Concatenated P6 frames — the uncompressed video container."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def split_ppm_seq(payload: bytes) -> list[bytes]:
+    """PPM-sequence payload → per-frame PPM payloads.  Raises ValueError
+    on anything that is not a clean concatenation of P6 frames."""
+    frames, pos, n = [], 0, len(payload)
+    while pos < n:
+        m = _PPM_HEADER.match(payload[pos : pos + 64])
+        if not m:
+            raise ValueError("not a PPM sequence")
+        w, h = int(m.group(1)), int(m.group(2))
+        end = pos + m.end() + w * h * 3
+        if end > n:
+            raise ValueError("truncated PPM frame")
+        frames.append(payload[pos:end])
+        pos = end
+    if not frames:
+        raise ValueError("empty PPM sequence")
+    return frames
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video rows → up to ``n_frames`` uniformly-spaced frames, one output
+    row per (media_id, frame_idx); non-video rows are dropped; payloads
+    without a decodable container emit ONE row with ``frame_error`` set
+    (the error channel keeps the lineage row, never kills the stage)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if r["kind"] != "video":
+                    continue
+                try:
+                    frames = split_ppm_seq(bytes(r["payload"]))
+                except ValueError as e:
+                    rows.append({"media_id": r["media_id"], "frame_idx": None,
+                                 "n_frames": None, "payload": None,
+                                 "frame_error": str(e)})
+                    continue
+                total = len(frames)
+                k = min(n_frames, total)
+                idxs = sorted({(i * total) // k for i in range(k)})
+                for idx in idxs:
+                    rows.append({"media_id": r["media_id"], "frame_idx": idx,
+                                 "n_frames": total, "payload": frames[idx],
+                                 "frame_error": None})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_frames",
+                               "payload", "frame_error"])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def synthetic_video_df(spark, n: int = 20, n_frames: int = 12,
+                       seed: int = 42) -> DataFrame:
+    """Deterministic PPM-sequence videos (decodable by sample_frames)."""
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.RandomState((seed << 16) ^ i)
+                w, h = 8 + i % 4, 6 + i % 3
+                frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                          for _ in range(n_frames)]
+                rows.append({
+                    "media_id": i, "kind": "video",
+                    "payload": encode_ppm_seq(frames),
+                    "mime": "video/x-ppm-seq", "width": w, "height": h,
+                    "duration_ms": n_frames * 40,
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
