@@ -1279,3 +1279,55 @@ def test_update_quads_using_named(spark, quads):
               .select("subj", "obj_lexical").collect())
     # only g1 is a named graph of the dataset; g2's bob never matches
     assert seen == {("http://x/alice", "http://g/1")}
+
+
+def test_aggregate_expression_argument(spark):
+    rows = [
+        ("http://x/o1", "http://p/price", "10", "literal", None, None),
+        ("http://x/o1", "http://p/qty", "3", "literal", None, None),
+        ("http://x/o2", "http://p/price", "4", "literal", None, None),
+        ("http://x/o2", "http://p/qty", "5", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        SELECT (SUM(?p * ?q) AS ?total) (AVG(?p + 0) AS ?avgp) WHERE {
+            ?o <http://p/price> ?p ; <http://p/qty> ?q .
+        }
+    """)
+    r = df.collect()[0]
+    assert r["total"] == 50.0 and r["avgp"] == 7.0
+
+
+def test_aggregate_expression_group_by_having(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?t (MAX(STRLEN(?n)) AS ?longest) WHERE {
+            ?s a ?t ; schema:name ?n .
+        } GROUP BY ?t HAVING(MAX(STRLEN(?n)) > 5)
+        ORDER BY ?t
+    """)
+    assert [(r["t"], r["longest"]) for r in df.collect()] == [
+        (SCHEMA + "Organization", 6)]  # Globex=6; Alice=5/Bob=3 filtered
+
+
+def test_regex_flags(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?s schema:name ?n . FILTER(REGEX(?n, "^ali", "i"))
+        }
+    """)
+    assert [r["n"] for r in df.collect()] == ["Alice"]
+    df2 = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?s schema:name ?n . FILTER(REGEX(?n, "^ali"))
+        }
+    """)
+    assert df2.count() == 0
+    with pytest.raises(SparqlError, match="REGEX flags"):
+        query(graph, """
+            PREFIX schema: <https://schema.org/>
+            SELECT ?n WHERE { ?s schema:name ?n .
+                              FILTER(REGEX(?n, "a", ?n)) }
+        """)

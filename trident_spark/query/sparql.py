@@ -445,7 +445,7 @@ _FILTER_FUNCS = {
 # SPARQL functions with no 1:1 Spark SQL builtin — expanded as SQL macros
 # over their compiled argument expressions
 _MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
-                "ENCODE_FOR_URI")
+                "ENCODE_FOR_URI", "REGEX")
 
 
 def _parse_call_args(toks: list[str], i: int) -> tuple[list[list[str]], int]:
@@ -486,6 +486,19 @@ def _expand_macro(name: str, args: list[list[str]],
         return (f"(CASE WHEN instr({a}, {b}) > 0 THEN "
                 f"substring({a}, instr({a}, {b}) + length({b})) "
                 f"ELSE '' END)")
+    if name == "REGEX" and len(sql) in (2, 3):
+        if len(sql) == 2:
+            return f"regexp_like({sql[0]}, {sql[1]})"
+        # SPARQL flags (i/s/m/x subset) → inline (?flags) prefix
+        ftoks = args[2]
+        m = (re.match(r'"([imsx]*)"$', ftoks[0])
+             if len(ftoks) == 1 else None)
+        if m is None:
+            raise SparqlError(
+                "REGEX flags must be a plain 'imsx' string literal")
+        if not m.group(1):
+            return f"regexp_like({sql[0]}, {sql[1]})"
+        return f"regexp_like({sql[0]}, '(?{m.group(1)})' || {sql[1]})"
     if name == "ENCODE_FOR_URI" and len(sql) == 1:
         # url_encode is form-encoding ('+' for space); SPARQL wants %20
         return f"replace(url_encode({sql[0]}), '+', '%20')"
@@ -1333,46 +1346,59 @@ def _parse_select_items(toks: list[str]) -> tuple[bool, list[_SelectItem] | None
             items.append(_SelectItem(var=t[1:]))
             i += 1
         elif t == "(":
-            # ( AGG ( [DISTINCT] ?v|* ) AS ?alias )
+            # ( AGG ( [DISTINCT] expr|* ) AS ?alias ) — expr is any
+            # balanced token expression (SUM(?price * ?qty) etc.)
             try:
                 agg = toks[i + 1].upper()
                 if agg not in _AGG_FUNCS or toks[i + 2] != "(":
                     raise SparqlError(f"unsupported aggregate {toks[i+1]!r}")
-                j = i + 3
+                args, j = _parse_call_args(toks, i + 2)
+                if len(args) != 1 or not args[0]:
+                    raise SparqlError("aggregates take one argument")
+                atoks = args[0]
                 adist = False
-                if toks[j].upper() == "DISTINCT":
-                    adist, j = True, j + 1
-                arg = toks[j]
-                if toks[j + 1] != ")" or toks[j + 2].upper() != "AS":
-                    raise SparqlError("aggregate must be (AGG(?v) AS ?alias)")
-                alias = toks[j + 3]
-                if not alias.startswith("?") or toks[j + 4] != ")":
-                    raise SparqlError("aggregate must be (AGG(?v) AS ?alias)")
+                if atoks[0].upper() == "DISTINCT":
+                    adist, atoks = True, atoks[1:]
+                if not atoks or toks[j : j + 1] == [] \
+                        or toks[j].upper() != "AS":
+                    raise SparqlError(
+                        "aggregate must be (AGG(expr) AS ?alias)")
+                alias = toks[j + 1]
+                if not alias.startswith("?") or toks[j + 2] != ")":
+                    raise SparqlError(
+                        "aggregate must be (AGG(expr) AS ?alias)")
             except IndexError:
                 raise SparqlError("malformed aggregate in SELECT") from None
             items.append(_SelectItem(
-                agg=agg, agg_arg=arg, distinct=adist, alias=alias[1:]))
-            i = j + 5
+                agg=agg, agg_arg="*" if atoks == ["*"] else atoks,
+                distinct=adist, alias=alias[1:]))
+            i = j + 3
         else:
             raise SparqlError(f"unexpected token in SELECT: {t!r}")
     return distinct, items
 
 
 def _agg_col(it: _SelectItem):
-    if it.agg == "COUNT":
-        if it.agg_arg == "*":
-            c = F.count(F.lit(1))
-        elif it.distinct:
-            c = F.countDistinct(F.col(it.agg_arg.lstrip("?")))
-        else:
-            c = F.count(F.col(it.agg_arg.lstrip("?")))
+    if it.agg == "COUNT" and it.agg_arg == "*":
+        c = F.count(F.lit(1))
     else:
-        col = F.col(it.agg_arg.lstrip("?"))
-        if it.agg in ("SUM", "AVG"):
-            col = col.cast("double")  # lexical forms are strings
-        if it.distinct:
-            raise SparqlError("DISTINCT is only supported inside COUNT")
-        c = _AGG_FUNCS[it.agg](col)
+        atoks = (it.agg_arg if isinstance(it.agg_arg, list)
+                 else [it.agg_arg])
+        if any(t in ("+", "-", "*", "/") for t in atoks):
+            # arithmetic aggregate arg: variable bindings are lexical
+            # strings — treat them as numbers (SPARQL numeric context;
+            # mix string functions with arithmetic via BIND instead)
+            atoks = [f"CAST(`{t[1:]}` AS DOUBLE)" if t.startswith("?")
+                     else t for t in atoks]
+        col = F.expr(_filter_sql(atoks))
+        if it.agg == "COUNT":
+            c = F.countDistinct(col) if it.distinct else F.count(col)
+        else:
+            if it.distinct:
+                raise SparqlError("DISTINCT is only supported inside COUNT")
+            if it.agg in ("SUM", "AVG"):
+                col = col.cast("double")  # lexical forms are strings
+            c = _AGG_FUNCS[it.agg](col)
     return c.alias(it.alias)
 
 
@@ -1390,7 +1416,8 @@ def _rewrite_having(toks: list[str], items: list[_SelectItem]) -> list[str]:
                 j += 1
             inner = toks[i + 2 : j - 1]
             adist = bool(inner) and inner[0].upper() == "DISTINCT"
-            arg = inner[1] if adist else (inner[0] if inner else None)
+            atoks = inner[1:] if adist else inner
+            arg = "*" if atoks == ["*"] else atoks
             match = next(
                 (it for it in items
                  if it.agg == up and it.agg_arg == arg
