@@ -1236,7 +1236,11 @@ def _compile_group(triples: DataFrame, group: _Group,
             # requires a shared binding) → no-op.
             if plan is None:
                 raise SparqlError("MINUS cannot be the first group element")
-            right, rv = _compile_group(triples, el[1], prefixes, quads, extra)
+            # only variables SHARED with the left side ever matter on the
+            # right (they become the anti-join keys) — id-runs inside the
+            # subgroup skip decoding everything else
+            right, rv = _compile_group(triples, el[1], prefixes, quads,
+                                       extra, needed=set(bound))
             keys = sorted(bound & rv)
             if keys:
                 plan = plan.join(right.select(*keys).distinct(),
@@ -1293,7 +1297,7 @@ def _compile_group(triples: DataFrame, group: _Group,
     # the inner group references the outer row only through shared vars)
     for positive, sub in exists:
         sub_plan, sub_vars = _compile_group(triples, sub, prefixes, quads,
-                                            extra)
+                                            extra, needed=set(bound))
         keys = sorted(bound & sub_vars)
         how = "left_semi" if positive else "left_anti"
         if keys:
