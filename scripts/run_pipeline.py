@@ -47,6 +47,10 @@ def main() -> None:
                     default="parquet",
                     help="iceberg requires --catalog and the Iceberg "
                          "runtime jar on the cluster classpath")
+    ap.add_argument("--export", action="append", default=[],
+                    choices=("nquads", "turtle", "trig", "jsonld"),
+                    help="also write the KG in this RDF text format "
+                         "(repeatable; N-Triples is always written)")
     ap.add_argument("--catalog", help="Iceberg catalog name (see "
                     "trident_spark.pipeline.catalog for the spark-submit "
                     "--conf incantation)")
@@ -89,6 +93,28 @@ def main() -> None:
     sink.write(result.terms, "terms", mode=mode)
     sink.write(result.triples, "triples", mode=mode)
     to_ntriples(result.skolemized).write.mode(mode).text(f"{out}/ntriples")
+    if args.export:
+        from pyspark.sql import functions as F
+
+        from trident_spark.pipeline import sinks
+        from trident_spark.pipeline.jsonld import to_jsonld
+
+        skol = result.skolemized
+        quads = skol.withColumn("graph", F.col("url"))
+        for fmt in set(args.export):
+            if fmt == "nquads":
+                frame = sinks.to_nquads(quads, graph_col="graph")
+            elif fmt == "turtle":
+                # prefixes={} → full IRIs, so every part file is a valid
+                # standalone document without an @prefix header
+                frame = sinks.to_turtle(skol, prefixes={}) \
+                    .withColumnRenamed("block", "line")
+            elif fmt == "trig":
+                frame = sinks.to_trig(quads, prefixes={}) \
+                    .withColumnRenamed("chunk", "line")
+            else:
+                frame = to_jsonld(skol).withColumnRenamed("doc", "line")
+            frame.write.mode(mode).text(f"{out}/{fmt}")
     sink.write(lineage.compute_lineage(result.skolemized, "triples",
                                        args.n_buckets), "lineage", mode=mode)
 

@@ -435,3 +435,19 @@ def test_annotation_block_in_trig():
         '{| <http://p/w> "8" |} . }')
     assert all(t[6] == "http://g/1" for t in got)
     assert len(got) == 3
+
+
+def test_to_turtle_empty_prefixes_is_standalone(spark):
+    """prefixes={} disables compaction → every block parses without any
+    @prefix header (the CLI --export contract: valid standalone files)."""
+    from trident_spark.pipeline.sinks import to_turtle
+
+    rows = [("http://x/a", RDF_TYPE, SCHEMA + "Person", "iri", None, None),
+            ("http://x/a", SCHEMA + "name", "Ann", "literal", None, None)]
+    df = spark.createDataFrame(rows, "subj string, pred string, "
+                               "obj_lexical string, obj_kind string, "
+                               "obj_datatype string, obj_lang string")
+    blocks = to_turtle(df, prefixes={}).collect()
+    text = "\n".join(r["block"] for r in blocks)
+    assert "@prefix" not in text and "schema:" not in text
+    assert set(parse_turtle(text)) == set(map(tuple, rows))

@@ -163,7 +163,9 @@ def to_turtle(skolemized: DataFrame,
     Catalyst expression chain; emit the @prefix header separately with
     :func:`turtle_header`.
     """
-    return _subject_blocks(skolemized, prefixes or DEFAULT_TURTLE_PREFIXES,
+    return _subject_blocks(
+        skolemized,
+        DEFAULT_TURTLE_PREFIXES if prefixes is None else prefixes,
                            with_graph=False)
 
 
@@ -223,7 +225,7 @@ def to_trig(quads: DataFrame,
     so the corpus stays distributed — the same model as :func:`to_turtle`.
     (One wrapper per subject is valid TriG: a graph may be named by any
     number of blocks, and their contents merge.)"""
-    pfx = prefixes or DEFAULT_TURTLE_PREFIXES
+    pfx = DEFAULT_TURTLE_PREFIXES if prefixes is None else prefixes
     blocks = _subject_blocks(quads, pfx, with_graph=True)
     g = F.col("graph")
     g_r = F.when(g.startswith("_:"), g).otherwise(
@@ -237,7 +239,7 @@ def to_trig(quads: DataFrame,
 
 
 def turtle_header(prefixes: dict[str, str] | None = None) -> str:
-    pfx = prefixes or DEFAULT_TURTLE_PREFIXES
+    pfx = DEFAULT_TURTLE_PREFIXES if prefixes is None else prefixes
     return "\n".join(f"@prefix {k}: <{v}> ." for k, v in sorted(pfx.items()))
 
 
