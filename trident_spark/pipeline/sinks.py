@@ -166,7 +166,7 @@ def to_turtle(skolemized: DataFrame,
     return _subject_blocks(
         skolemized,
         DEFAULT_TURTLE_PREFIXES if prefixes is None else prefixes,
-                           with_graph=False)
+        with_graph=False)
 
 
 def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
