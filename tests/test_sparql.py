@@ -1331,3 +1331,78 @@ def test_regex_flags(spark, graph):
             SELECT ?n WHERE { ?s schema:name ?n .
                               FILTER(REGEX(?n, "a", ?n)) }
         """)
+
+
+# ---------------------------------------------------------------------------
+# warehouse path: query_encoded over the persisted dictionary tables
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def encoded_kg(spark):
+    from trident_spark.pipeline import build_kg
+    from trident_spark.pipeline.pages import pages_df
+
+    result = build_kg(pages_df(spark, 120), alias_dict=None)
+    return (result.triples.localCheckpoint(eager=True),
+            result.terms.localCheckpoint(eager=True),
+            result.skolemized.select(
+                "subj", "pred", "obj_lexical", "obj_kind",
+                "obj_datatype", "obj_lang").localCheckpoint(eager=True))
+
+
+def _differential(lexical, edges, terms, sparql):
+    from trident_spark.query.sparql import query, query_encoded
+
+    want = {tuple(r) for r in query(lexical, sparql).collect()}
+    got = {tuple(r) for r in query_encoded(edges, terms, sparql).collect()}
+    assert got == want, (len(got), len(want))
+    return got
+
+
+def test_query_encoded_matches_lexical_engine(spark, encoded_kg):
+    edges, terms, lexical = encoded_kg
+    got = _differential(lexical, edges, terms, """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?p ?n WHERE {
+            ?p a schema:Person ; schema:name ?n .
+        }
+    """)
+    assert got  # non-empty
+
+
+def test_query_encoded_filter_and_agg(spark, encoded_kg):
+    edges, terms, lexical = encoded_kg
+    _differential(lexical, edges, terms, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?t (COUNT(?s) AS ?n) WHERE {
+            ?s a ?t . FILTER(CONTAINS(STR(?t), "schema.org"))
+        } GROUP BY ?t
+    """)
+
+
+def test_query_encoded_plan_reads_only_id_columns(spark, encoded_kg):
+    from trident_spark.query.sparql import query_encoded
+
+    edges, terms, _ = encoded_kg
+    df = query_encoded(edges, terms, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?p WHERE { ?p a schema:Person ; schema:name ?n . }
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # id-typed join keys, no lexical columns in the edge scans
+    assert "_tid_" in plan
+    assert df.count() > 0
+
+
+def test_query_encoded_rejects_unsupported(spark, encoded_kg):
+    from trident_spark.query.sparql import query_encoded
+
+    edges, terms, _ = encoded_kg
+    with pytest.raises(SparqlError, match="plain triple patterns"):
+        query_encoded(edges, terms,
+                      "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o } }")
+    with pytest.raises(SparqlError, match="literal constants"):
+        query_encoded(
+            edges, terms,
+            'SELECT ?s WHERE { ?s <http://p/n> "5"^^<http://dt> . }')

@@ -2172,3 +2172,184 @@ def _apply_templates(quads, spark, prefixes, with_graph, using, group,
         return out
 
     return apply_q(inst(del_tg), inst(ins_tg))
+
+
+# ---------------------------------------------------------------------------
+# Warehouse path: SELECT over the pipeline's PERSISTED dictionary-encoded
+# tables (pipeline/kg.py: triples(subj_id, pred_id, obj_id) + terms)
+# ---------------------------------------------------------------------------
+
+
+def query_encoded(edges: DataFrame, terms: DataFrame,
+                  sparql: str) -> DataFrame:
+    """SELECT over dictionary-encoded edges — the pipeline-warehouse path.
+
+    Pattern scans read ONLY the 8-byte id columns (parquet prunes the rest
+    at the source), constant terms hash driver-side with the bit-parity
+    pure-Python xxhash64 (util_xxhash.spark_xxhash64 — no terms lookup to
+    plan a query), joins move longs, and projected variables decode with
+    one terms join each at the end.  Supported fragment: plain-pattern
+    BGPs + FILTER + DISTINCT + GROUP BY/aggregates + ORDER/LIMIT/OFFSET —
+    the warehouse-analytics subset; use :func:`query` on a lexical view
+    for the full 1.1 surface.
+    """
+    from trident_spark.util_xxhash import spark_xxhash64
+
+    toks, prefixes = _prep(sparql)
+    if not toks or toks[0].upper() != "SELECT":
+        raise SparqlError("query_encoded supports SELECT queries")
+    try:
+        w = next(i for i, t in enumerate(toks) if t.upper() == "WHERE")
+    except StopIteration:
+        raise SparqlError("missing WHERE") from None
+    if toks[w + 1 : w + 2] != ["{"]:
+        raise SparqlError("WHERE must be followed by a group")
+    distinct, items = _parse_select_items(toks[1:w])
+    group, i = _parse_group(toks, w + 2)
+    tail = toks[i:]
+
+    pats = [el for el in group.elements if isinstance(el, _Pattern)]
+    filters = [el[1] for el in group.elements
+               if isinstance(el, tuple) and el and el[0] == "filter"]
+    if len(pats) + len(filters) != len(group.elements) or not pats:
+        raise SparqlError(
+            "query_encoded supports plain triple patterns + FILTER only")
+    for p in pats:
+        if isinstance(p.pred, tuple) or isinstance(p.obj, _Quoted):
+            raise SparqlError(
+                "query_encoded supports plain triple patterns only")
+
+    def const_id(term: str, pos: str) -> int:
+        if pos == "obj" and term.startswith('"'):
+            if not term.endswith('"'):
+                raise SparqlError(
+                    "typed/lang-tagged literal constants are not supported "
+                    "in query_encoded (plain literals only)")
+            value = _term_value(term, prefixes)
+            return spark_xxhash64("literal", value, "", "")
+        return spark_xxhash64("iri", _expand(term, prefixes), "", "")
+
+    id_col = {"subj": "subj_id", "pred": "pred_id", "obj": "obj_id"}
+    plan: DataFrame | None = None
+    bound: set[str] = set()
+    first_binder: dict[str, None] = {}
+    for pat in _reorder_patterns(pats):
+        scan = edges
+        rename: dict[str, str] = {}
+        for pos, term in (("subj", pat.subj), ("pred", pat.pred),
+                          ("obj", pat.obj)):
+            if term.startswith("?"):
+                rename[pos] = term[1:]
+            else:
+                scan = scan.where(
+                    F.col(id_col[pos]) == const_id(term, pos))
+        scan, rename = _dedupe_repeated_vars(
+            scan, {id_col[p]: v for p, v in rename.items()})
+        proj = [F.col(c).alias(f"_tid_{v}") for c, v in rename.items()]
+        idscan = (scan.select(*proj).distinct() if proj
+                  else scan.select(F.lit(1).alias("_m")).limit(1))
+        vars_ = set(rename.values())
+        if plan is None:
+            plan = idscan
+        else:
+            keys = [f"_tid_{v}" for v in sorted(bound & vars_)]
+            plan = plan.join(idscan, keys) if keys \
+                else plan.crossJoin(idscan)
+        bound |= vars_
+
+    # decode: projection surface + filter vars (join-only vars stay ids)
+    needed = (set(bound) if items is None
+              else (_all_vars(toks[1:w]) | _all_vars(tail)) & bound)
+    for f in filters:
+        needed |= _all_vars(f) & bound
+    dec_base = terms.select(F.col("term_id"), F.col("lexical"),
+                            F.col("kind"), F.col("datatype"), F.col("lang"))
+    for v in sorted(needed):
+        dec = dec_base.select(
+            F.col("term_id").alias(f"_tid_{v}"),
+            F.col("lexical").alias(v),
+            F.col("kind").alias(f"_kind_{v}"),
+            F.col("datatype").alias(f"_dt_{v}"),
+            F.col("lang").alias(f"_lang_{v}"))
+        plan = plan.join(dec, f"_tid_{v}")
+    for ftoks in filters:
+        plan = plan.where(_filter_sql(ftoks, set(plan.columns)))
+    plan = plan.drop(*[c for c in plan.columns
+                       if c.startswith(("_tid_", "_m", "_kind_", "_dt_",
+                                        "_lang_"))])
+
+    # tail modifiers — same shapes as _compile_select's
+    return _apply_select_tail(plan, distinct, items, tail, sorted(needed))
+
+
+def _apply_select_tail(plan: DataFrame, distinct: bool,
+                       items: list | None, tail: list[str],
+                       all_vars: list[str]) -> DataFrame:
+    group_by: list[str] = []
+    having: list[str] | None = None
+    order: list[tuple[str, bool]] = []
+    limit = offset = None
+    j = 0
+    while j < len(tail):
+        up = tail[j].upper()
+        if up == "GROUP" and tail[j + 1 : j + 2] \
+                and tail[j + 1].upper() == "BY":
+            j += 2
+            while j < len(tail) and tail[j].startswith("?"):
+                group_by.append(tail[j][1:])
+                j += 1
+        elif up == "HAVING":
+            depth, k = 1, j + 2
+            while k < len(tail) and depth:
+                depth += {"(": 1, ")": -1}.get(tail[k], 0)
+                k += 1
+            having = tail[j + 2 : k - 1]
+            j = k
+        elif up == "ORDER" and tail[j + 1 : j + 2] \
+                and tail[j + 1].upper() == "BY":
+            j += 2
+            while j < len(tail):
+                desc = False
+                if tail[j].upper() in ("ASC", "DESC"):
+                    desc = tail[j].upper() == "DESC"
+                    j += 1
+                parens = tail[j : j + 1] == ["("]
+                if parens:
+                    j += 1
+                if j >= len(tail) or not tail[j].startswith("?"):
+                    break
+                order.append((tail[j][1:], desc))
+                j += 1
+                if parens:
+                    j += 1
+        elif up == "LIMIT":
+            limit = int(tail[j + 1])
+            j += 2
+        elif up == "OFFSET":
+            offset = int(tail[j + 1])
+            j += 2
+        else:
+            raise SparqlError(f"unexpected token after WHERE: {tail[j]!r}")
+
+    has_agg = items is not None and any(it.agg for it in items)
+    if has_agg:
+        keys = group_by or [it.var for it in items if it.var]
+        aggs = [_agg_col(it) for it in items if it.agg]
+        plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
+        if having is not None:
+            plan = plan.where(_filter_sql(_rewrite_having(having, items)))
+        out_cols = [it.out_name for it in items]
+    else:
+        out_cols = (all_vars if items is None
+                    else [it.var for it in items])
+    plan = plan.select(*out_cols)
+    if distinct:
+        plan = plan.distinct()
+    if order:
+        plan = plan.orderBy(*[
+            F.col(v).desc() if d else F.col(v).asc() for v, d in order])
+    if offset is not None:
+        plan = plan.offset(offset)
+    if limit is not None:
+        plan = plan.limit(limit)
+    return plan
