@@ -1406,3 +1406,33 @@ def test_query_encoded_rejects_unsupported(spark, encoded_kg):
         query_encoded(
             edges, terms,
             'SELECT ?s WHERE { ?s <http://p/n> "5"^^<http://dt> . }')
+
+
+def test_select_expression_projection(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n (UCASE(?n) AS ?up) (STRLEN(?n) * 2 AS ?len2) WHERE {
+            ?s a schema:Person ; schema:name ?n .
+        } ORDER BY ?n
+    """)
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "ALICE", 10), ("Bob", "BOB", 6)]
+
+
+def test_select_expression_mixed_with_agg_rejected(spark, graph):
+    with pytest.raises(SparqlError, match="cannot mix"):
+        query(graph, """
+            PREFIX schema: <https://schema.org/>
+            SELECT (UCASE(?t) AS ?u) (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+            GROUP BY ?t
+        """)
+
+
+def test_query_encoded_select_expression(spark, encoded_kg):
+    edges, terms, lexical = encoded_kg
+    _differential(lexical, edges, terms, """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT (UCASE(?n) AS ?up) WHERE {
+            ?p a schema:Person ; schema:name ?n .
+        }
+    """)

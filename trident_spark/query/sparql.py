@@ -1325,9 +1325,10 @@ _AGG_FUNCS = {
 class _SelectItem:
     var: str | None = None          # plain projection
     agg: str | None = None          # aggregate function name
-    agg_arg: str | None = None      # argument variable ('*' for COUNT(*))
+    agg_arg: "str | list | None" = None  # arg tokens ('*' for COUNT(*))
     distinct: bool = False
     alias: str | None = None
+    expr: list | None = None        # (expr AS ?alias) projection tokens
 
     @property
     def out_name(self) -> str:
@@ -1351,11 +1352,23 @@ def _parse_select_items(toks: list[str]) -> tuple[bool, list[_SelectItem] | None
             i += 1
         elif t == "(":
             # ( AGG ( [DISTINCT] expr|* ) AS ?alias ) — expr is any
-            # balanced token expression (SUM(?price * ?qty) etc.)
+            # balanced token expression (SUM(?price * ?qty) etc.) —
+            # or a plain projected expression ( expr AS ?alias )
             try:
                 agg = toks[i + 1].upper()
                 if agg not in _AGG_FUNCS or toks[i + 2] != "(":
-                    raise SparqlError(f"unsupported aggregate {toks[i+1]!r}")
+                    body, j = _parse_call_args(toks, i)
+                    etoks = body[0] if len(body) == 1 else None
+                    if (not etoks or len(etoks) < 3
+                            or etoks[-2].upper() != "AS"
+                            or not etoks[-1].startswith("?")):
+                        raise SparqlError(
+                            f"unsupported SELECT item at {toks[i+1]!r} "
+                            "(expected (AGG(expr) AS ?a) or (expr AS ?a))")
+                    items.append(_SelectItem(expr=etoks[:-2],
+                                             alias=etoks[-1][1:]))
+                    i = j
+                    continue
                 args, j = _parse_call_args(toks, i + 2)
                 if len(args) != 1 or not args[0]:
                     raise SparqlError("aggregates take one argument")
@@ -1521,6 +1534,9 @@ def _compile_select(triples: DataFrame, toks: list[str],
 
     has_agg = items is not None and any(it.agg for it in items)
     if has_agg:
+        if any(it.expr is not None for it in items):
+            raise SparqlError(
+                "(expr AS ?v) projections cannot mix with aggregates")
         keys = group_by or [it.var for it in items if it.var]
         missing = [k for k in keys if k not in bound]
         if missing:
@@ -1537,8 +1553,15 @@ def _compile_select(triples: DataFrame, toks: list[str],
         if items is None:
             out_cols = sorted(bound)
         else:
-            out_cols = [it.var for it in items]
-            missing = [v for v in out_cols if v not in bound]
+            for it in items:
+                if it.expr is not None:
+                    plan = plan.withColumn(
+                        it.alias,
+                        F.expr(_filter_sql(it.expr, set(plan.columns))))
+            exprs = {it.alias for it in items if it.expr is not None}
+            out_cols = [it.out_name for it in items]
+            missing = [v for v in out_cols
+                       if v not in bound and v not in exprs]
             if missing:
                 raise SparqlError(f"unbound variables in SELECT: {missing}")
         plan = plan.select(*out_cols)
@@ -2333,6 +2356,9 @@ def _apply_select_tail(plan: DataFrame, distinct: bool,
 
     has_agg = items is not None and any(it.agg for it in items)
     if has_agg:
+        if any(it.expr is not None for it in items):
+            raise SparqlError(
+                "(expr AS ?v) projections cannot mix with aggregates")
         keys = group_by or [it.var for it in items if it.var]
         aggs = [_agg_col(it) for it in items if it.agg]
         plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
@@ -2340,8 +2366,14 @@ def _apply_select_tail(plan: DataFrame, distinct: bool,
             plan = plan.where(_filter_sql(_rewrite_having(having, items)))
         out_cols = [it.out_name for it in items]
     else:
+        if items is not None:
+            for it in items:
+                if it.expr is not None:
+                    plan = plan.withColumn(
+                        it.alias,
+                        F.expr(_filter_sql(it.expr, set(plan.columns))))
         out_cols = (all_vars if items is None
-                    else [it.var for it in items])
+                    else [it.out_name for it in items])
     plan = plan.select(*out_cols)
     if distinct:
         plan = plan.distinct()
