@@ -511,3 +511,23 @@ def test_sample_frames_uniform_and_error_channel(spark):
     mixed = sample_frames(synthetic_media_df(spark, 9), n_frames=4).collect()
     assert len(mixed) == 3  # the 3 video rows
     assert all(r["frame_error"] and r["payload"] is None for r in mixed)
+
+
+def test_remove_boilerplate(spark):
+    """The cookie banner shared by most docs disappears; unique content
+    and paragraph order survive; all-boilerplate docs come back empty."""
+    banner = "ACCEPT OUR COOKIES"
+    rows = [(i, f"{banner}\n\nunique body {i}\n\nmore {i}") for i in range(8)]
+    rows.append((8, f"{banner}"))                       # banner-only doc
+    rows.append((9, "no banner here\n\njust content"))  # clean doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.remove_boilerplate(
+        df, max_doc_frac=0.3).collect()}
+    assert len(out) == 10
+    for i in range(8):
+        assert out[i]["text"] == f"unique body {i}\n\nmore {i}"
+        assert out[i]["n_paras_dropped"] == 1
+        assert out[i]["n_paras_kept"] == 2
+    assert out[8]["text"] == "" and out[8]["n_paras_kept"] == 0
+    assert out[9]["text"] == "no banner here\n\njust content"
+    assert out[9]["n_paras_dropped"] == 0

@@ -267,3 +267,68 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def remove_boilerplate(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_doc_frac: float = 0.05,
+                       min_docs: int = 2) -> DataFrame:
+    """Corpus-level boilerplate removal: drop paragraphs that repeat across
+    more than ``max_doc_frac`` of the corpus (and at least ``min_docs``
+    documents) — headers, footers, cookie banners.  The standard
+    training-corpus cleanup, entirely in Catalyst:
+
+    explode paragraphs (keeping position) → per-paragraph distinct-doc
+    counts (one agg on the md5 hash) → anti-filter → reassemble each
+    document in original order.  Two shuffles total (the count agg and the
+    per-doc reassembly), both on narrow rows; the hash join against the
+    boilerplate set is broadcast when small, AQE otherwise.
+
+    Returns (id, text, n_paras_kept, n_paras_dropped); documents whose
+    every paragraph is boilerplate come back with empty text (never
+    dropped — downstream length filters decide)."""
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}"))
+            .alias("pos", "para"),
+        )
+        .withColumn("para_hash", F.md5(F.trim(F.col("para"))))
+    )
+    n_docs = docs.count()
+    cutoff = max(int(n_docs * max_doc_frac), min_docs)
+    boiler = (
+        paras.groupBy("para_hash")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > cutoff)
+        .select("para_hash")
+    )
+    kept = paras.join(boiler, "para_hash", "left_anti")
+    dropped_counts = (
+        paras.join(boiler, "para_hash", "left_semi")
+        .groupBy("id").agg(F.count("*").alias("n_paras_dropped"))
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("clean_text"),
+            F.count("*").alias("n_paras_kept"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(out, "id", "left")
+        .join(dropped_counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("text"),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+            F.coalesce("n_paras_dropped", F.lit(0)).alias("n_paras_dropped"),
+        )
+    )
