@@ -1,0 +1,69 @@
+"""SPARQL over a built KG output directory, from spark-submit.
+
+    spark-submit --py-files dist/trident_spark.zip scripts/run_query.py \
+        --kg /tmp/kg --query 'SELECT ?s ?o WHERE { ?s <...provider> ?o }'
+
+Uses the warehouse path (query_encoded over the persisted terms/triples
+dictionary tables — scans read only id columns) when the query fits its
+fragment, and falls back to the full lexical engine over the N-Triples
+export otherwise.  Results print as JSON lines (--limit rows) or write to
+--output as parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kg", required=True, help="run_pipeline.py output dir")
+    ap.add_argument("--query", required=True, help="SPARQL SELECT/ASK")
+    ap.add_argument("--output", help="write results as parquet instead of "
+                                     "printing")
+    ap.add_argument("--limit", type=int, default=50,
+                    help="rows to print when no --output (default 50)")
+    ap.add_argument("--engine", choices=("auto", "encoded", "lexical"),
+                    default="auto")
+    args = ap.parse_args()
+
+    from trident_spark.query.sparql import (
+        SparqlError, query, query_encoded,
+    )
+    from trident_spark.session import get_spark
+
+    spark = get_spark(app_name="trident-spark-query")
+    kg = args.kg.rstrip("/")
+
+    df = None
+    if args.engine in ("auto", "encoded"):
+        try:
+            edges = spark.read.parquet(f"{kg}/triples")
+            terms = spark.read.parquet(f"{kg}/terms")
+            df = query_encoded(edges, terms, args.query)
+            print("engine: encoded (id-column scans)", file=sys.stderr)
+        except SparqlError as e:
+            if args.engine == "encoded":
+                raise
+            print(f"encoded path unsupported ({e}); using lexical engine",
+                  file=sys.stderr)
+    if df is None:
+        from trident_spark.pipeline.sinks import from_ntriples
+
+        lines = spark.read.text(f"{kg}/ntriples") \
+            .withColumnRenamed("value", "line")
+        df = query(from_ntriples(lines), args.query)
+
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    else:
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
