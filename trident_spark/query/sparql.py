@@ -1073,7 +1073,14 @@ def _run_pattern_scan(triples: DataFrame, pat: _Pattern,
     return scan, rename
 
 
+# test hook: the differential fuzz gate (tests/test_sparql_fuzz.py) flips
+# this off to compare id-run plans against pure single-pattern compilation
+_ID_RUNS_ENABLED = True
+
+
 def _run_eligible(pat, meta: set[str], extra) -> bool:
+    if not _ID_RUNS_ENABLED:
+        return False
     if extra is not None or isinstance(pat.pred, tuple) \
             or isinstance(pat.obj, _Quoted):
         return False
