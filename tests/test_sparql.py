@@ -897,12 +897,37 @@ def test_graph_requires_quads(spark, graph):
         """)
 
 
-def test_graph_var_path_closure_rejected(spark, quads):
-    with pytest.raises(SparqlError, match="paths inside GRAPH"):
-        query(quads, """
-            PREFIX schema: <https://schema.org/>
-            SELECT ?g WHERE { GRAPH ?g { ?a schema:worksFor+ ?b } }
-        """)
+def test_graph_var_path_closure_per_graph(spark):
+    """Property paths inside GRAPH ?var: each named graph's closure is
+    computed independently — a chain split across two graphs must NOT
+    connect through the graph boundary."""
+    qcols = COLS + ", graph string"
+    rows = [
+        # g1: a→b→c chain
+        ("http://x/a", "http://p/n", "http://x/b", "iri", None, None,
+         "http://g/1"),
+        ("http://x/b", "http://p/n", "http://x/c", "iri", None, None,
+         "http://g/1"),
+        # g2: only b→d — reachable from b in g2, NOT from a
+        ("http://x/b", "http://p/n", "http://x/d", "iri", None, None,
+         "http://g/2"),
+    ]
+    g = spark.createDataFrame(rows, qcols)
+    df = query(g, """
+        SELECT ?g ?x WHERE {
+            GRAPH ?g { <http://x/a> <http://p/n>+ ?x }
+        }
+    """)
+    got = sorted((r["g"], r["x"]) for r in df.collect())
+    assert got == [("http://g/1", "http://x/b"), ("http://g/1", "http://x/c")]
+    # sequence paths scope per graph too
+    df2 = query(g, """
+        SELECT ?g ?x WHERE {
+            GRAPH ?g { <http://x/a> <http://p/n>/<http://p/n> ?x }
+        }
+    """)
+    assert [(r["g"], r["x"]) for r in df2.collect()] == [
+        ("http://g/1", "http://x/c")]
 
 
 # ---------------------------------------------------------------------------

@@ -592,9 +592,18 @@ def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
     return " ".join(out)
 
 
-def _graph_nodes(triples: DataFrame) -> DataFrame:
+def _graph_nodes(triples: DataFrame, per_graph: bool = False) -> DataFrame:
     """identity pairs (n, n) over every graph term — the zero-length path
-    of the `*` and `?` operators."""
+    of the `*` and `?` operators.  ``per_graph``: pairs scoped to the
+    named graph each node occurs in (carrying ``_pg``)."""
+    if per_graph:
+        nodes = (
+            triples.select(F.col("graph").alias("_pg"),
+                           F.col("subj").alias("_ps"))
+            .union(triples.select("graph", "obj_lexical"))
+            .distinct()
+        )
+        return nodes.select("_pg", "_ps", F.col("_ps").alias("_po"))
     nodes = (
         triples.select(F.col("subj").alias("_ps"))
         .union(triples.select(F.col("obj_lexical")))
@@ -604,8 +613,12 @@ def _graph_nodes(triples: DataFrame) -> DataFrame:
 
 
 def _compile_path(triples: DataFrame, node: tuple,
-                  prefixes: dict[str, str]) -> DataFrame:
-    """Property path → distinct (_ps, _po) endpoint pairs.
+                  prefixes: dict[str, str],
+                  per_graph: bool = False) -> DataFrame:
+    """Property path → distinct (_ps, _po) endpoint pairs (plus ``_pg``,
+    the containing named graph, when ``per_graph`` — the GRAPH ?var case:
+    each graph's closure is computed independently by keying every join on
+    the graph column too).
 
     Closures (`+`/`*`) run an iterative driver-side fixpoint (join new
     frontier against the base relation, union, until no new pairs) — the
@@ -613,46 +626,52 @@ def _compile_path(triples: DataFrame, node: tuple,
     bound lineage.  `*` adds the identity pair for every graph term, per
     SPARQL's zero-length-path semantics."""
     kind = node[0]
+    g_sel = [F.col("graph").alias("_pg")] if per_graph else []
+    g_cols = ["_pg"] if per_graph else []
     if kind == "iri":
         value = _expand(node[1], prefixes)
         return (
             triples.where(F.col("pred") == value)
-            .select(F.col("subj").alias("_ps"),
+            .select(*g_sel, F.col("subj").alias("_ps"),
                     F.col("obj_lexical").alias("_po"))
             .distinct()
         )
     if kind == "inv":
-        p = _compile_path(triples, node[1], prefixes)
-        return p.select(F.col("_po").alias("_ps"), F.col("_ps").alias("_po"))
+        p = _compile_path(triples, node[1], prefixes, per_graph)
+        return p.select(*g_cols, F.col("_po").alias("_ps"),
+                        F.col("_ps").alias("_po"))
     if kind == "seq":
-        left = _compile_path(triples, node[1], prefixes)
+        left = _compile_path(triples, node[1], prefixes, per_graph)
         right = (
-            _compile_path(triples, node[2], prefixes)
+            _compile_path(triples, node[2], prefixes, per_graph)
             .withColumnRenamed("_ps", "_ms").withColumnRenamed("_po", "_mo")
         )
         return (
-            left.join(right, F.col("_po") == F.col("_ms"))
-            .select("_ps", F.col("_mo").alias("_po"))
+            left.withColumnRenamed("_po", "_ms")
+            .join(right, g_cols + ["_ms"])
+            .select(*g_cols, "_ps", F.col("_mo").alias("_po"))
             .distinct()
         )
     if kind == "alt":
         return (
-            _compile_path(triples, node[1], prefixes)
-            .union(_compile_path(triples, node[2], prefixes))
+            _compile_path(triples, node[1], prefixes, per_graph)
+            .unionByName(_compile_path(triples, node[2], prefixes,
+                                       per_graph))
             .distinct()
         )
     if kind == "neg":
         values = [_expand(t, prefixes) for t in node[1]]
         return (
             triples.where(~F.col("pred").isin(values))
-            .select(F.col("subj").alias("_ps"),
+            .select(*g_sel, F.col("subj").alias("_ps"),
                     F.col("obj_lexical").alias("_po"))
             .distinct()
         )
     if kind == "opt":
         # zero-or-one: the base pairs plus the identity pair on every node
-        base = _compile_path(triples, node[1], prefixes)
-        return base.union(_graph_nodes(triples)).distinct()
+        base = _compile_path(triples, node[1], prefixes, per_graph)
+        return base.unionByName(
+            _graph_nodes(triples, per_graph)).distinct()
     if kind in ("plus", "star"):
         # Transitive closure by recursive doubling: composing the closure-
         # so-far with itself doubles the maximum covered path length each
@@ -662,17 +681,18 @@ def _compile_path(triples: DataFrame, node: tuple,
         # over 64-bit endpoint hashes (16-byte rows through every shuffle
         # instead of two lexical strings); endpoints decode once at the
         # end against the base relation's node dictionary.
-        base = _compile_path(triples, node[1], prefixes).distinct() \
-            .localCheckpoint(eager=True)
-        paths = base.select(
+        base = _compile_path(triples, node[1], prefixes, per_graph) \
+            .distinct().localCheckpoint(eager=True)
+        enc = ([F.xxhash64("_pg").alias("_pg")] if per_graph else []) + [
             F.xxhash64("_ps").alias("_ps"),
-            F.xxhash64("_po").alias("_po")).distinct() \
-            .localCheckpoint(eager=True)
+            F.xxhash64("_po").alias("_po")]
+        paths = base.select(*enc).distinct().localCheckpoint(eager=True)
         while True:
             step = (
                 paths.withColumnRenamed("_po", "_mid")
-                .join(paths.withColumnRenamed("_ps", "_mid"), "_mid")
-                .select("_ps", "_po")
+                .join(paths.withColumnRenamed("_ps", "_mid"),
+                      g_cols + ["_mid"])
+                .select(*g_cols, "_ps", "_po")
             )
             new = step.subtract(paths)
             if not new.take(1):
@@ -688,11 +708,20 @@ def _compile_path(triples: DataFrame, node: tuple,
                        .withColumnRenamed("_lex", "_ps_lex"), "_ps")
             .join(dec.withColumnRenamed("_k", "_po")
                   .withColumnRenamed("_lex", "_po_lex"), "_po")
-            .select(F.col("_ps_lex").alias("_ps"),
-                    F.col("_po_lex").alias("_po"))
         )
+        if per_graph:
+            gdec = (base.select(F.col("_pg").alias("_glex")).distinct()
+                    .select(F.xxhash64("_glex").alias("_pg"), "_glex"))
+            paths = paths.join(gdec, "_pg").select(
+                F.col("_glex").alias("_pg"),
+                F.col("_ps_lex").alias("_ps"),
+                F.col("_po_lex").alias("_po"))
+        else:
+            paths = paths.select(F.col("_ps_lex").alias("_ps"),
+                                 F.col("_po_lex").alias("_po"))
         if kind == "star":
-            paths = paths.union(_graph_nodes(triples)).distinct()
+            paths = paths.unionByName(
+                _graph_nodes(triples, per_graph)).distinct()
         return paths
     raise SparqlError(f"unknown path node {node!r}")  # pragma: no cover
 
@@ -816,12 +845,17 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
     if isinstance(pat.obj, _Quoted):
         return _compile_quoted(triples, pat, prefixes, idx, extra)
     if isinstance(pat.pred, tuple):
-        if extra:
-            # a closure's endpoint pairs have no single home graph
-            raise SparqlError(
-                "property paths inside GRAPH ?var are not supported")
-        pairs = _compile_path(triples, pat.pred, prefixes)
+        per_graph = False
         rename: dict[str, str] = {}
+        if extra:
+            if set(extra) != {"graph"}:
+                raise SparqlError("property paths inside nested GRAPH "
+                                  "scopes are not supported")
+            # GRAPH ?var: each named graph's path relation (and closure)
+            # is computed independently, keyed on the graph column
+            per_graph = True
+            rename["_pg"] = extra["graph"]
+        pairs = _compile_path(triples, pat.pred, prefixes, per_graph)
         scan = pairs
         for col, term in (("_ps", pat.subj), ("_po", pat.obj)):
             if term.startswith("?"):
