@@ -1461,3 +1461,13 @@ def test_query_encoded_select_expression(spark, encoded_kg):
             ?p a schema:Person ; schema:name ?n .
         }
     """)
+
+
+def test_order_by_expression(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE { ?s schema:name ?n . }
+        ORDER BY DESC(STRLEN(?n)) ?n
+    """)
+    assert [r["n"] for r in df.collect()] == [
+        "Globex", "Alice", "Acme", "Bob"]

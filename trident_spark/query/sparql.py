@@ -1553,17 +1553,18 @@ def _compile_select(triples: DataFrame, toks: list[str],
                 if tail[j].upper() in ("ASC", "DESC"):
                     desc = tail[j].upper() == "DESC"
                     j += 1
-                parens = tail[j : j + 1] == ["("]
-                if parens:
-                    j += 1
+                if tail[j : j + 1] == ["("]:
+                    # (expr) sort key — any balanced expression over the
+                    # projected variables
+                    body, j = _parse_call_args(tail, j)
+                    if len(body) != 1 or not body[0]:
+                        raise SparqlError("malformed ORDER BY expression")
+                    order.append((body[0], desc))
+                    continue
                 if j >= len(tail) or not tail[j].startswith("?"):
                     break
-                order.append((tail[j][1:], desc))
+                order.append(([tail[j]], desc))
                 j += 1
-                if parens:
-                    if tail[j : j + 1] != [")"]:
-                        raise SparqlError("unbalanced parens in ORDER BY")
-                    j += 1
         elif up == "LIMIT":
             limit = int(tail[j + 1])
             j += 2
@@ -1610,12 +1611,19 @@ def _compile_select(triples: DataFrame, toks: list[str],
     if distinct:
         plan = plan.distinct()
     if order:
-        missing = [v for v, _ in order if v not in set(out_cols)]
-        if missing:
-            raise SparqlError(f"ORDER BY on unprojected variables: {missing}")
-        plan = plan.orderBy(*[
-            F.col(v).desc() if d else F.col(v).asc() for v, d in order
-        ])
+        for etoks, _ in order:
+            missing = [t[1:] for t in etoks
+                       if t.startswith("?") and t[1:] not in set(out_cols)]
+            if missing:
+                raise SparqlError(
+                    f"ORDER BY on unprojected variables: {missing}")
+        keys = []
+        for etoks, d in order:
+            col = (F.col(etoks[0][1:]) if len(etoks) == 1
+                   and etoks[0].startswith("?")
+                   else F.expr(_filter_sql(etoks, set(out_cols))))
+            keys.append(col.desc() if d else col.asc())
+        plan = plan.orderBy(*keys)
     if offset is not None:
         plan = plan.offset(offset)
     if limit is not None:
