@@ -264,8 +264,15 @@ def write_baseline_md(timings: dict, scaling: dict | None, total: float,
         lines += [
             "",
             "(Kernel numbers drift with the VM's load-throttling: the same",
-            "extract_page microbench has measured 3.6k-6.7k pages/sec within",
-            "one day; treat ratios between kernels, not absolutes, as stable.)",
+            "extract_page microbench has measured 3.8k-7.6k pages/sec within",
+            "one day; treat ratios between kernels, not absolutes, as stable.",
+            "Round 3 doubled the extraction kernel same-session — 3805 to",
+            "7561 pages/sec measured minutes apart: normalized-base string",
+            "split, to_iri ../-chain + query-tail concat paths, batched",
+            "tokenizer group fetch, in-parse script/<base> collection.",
+            "SPARQL BGPs now join on 64-bit term ids with projection-only",
+            "decode; the kg_sparql_bgp plan shows long-typed hash-join keys",
+            "and zero decode joins for pure join variables.)",
             "",
         ]
     if scaling:
