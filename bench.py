@@ -150,6 +150,7 @@ def run_headline(spark) -> dict[str, float]:
         "kg_sparql_functions",
         "kg_sparql_update_graph",
         "kg_trig_roundtrip",
+        "kg_jsonld_roundtrip",
         "kg_turtle_roundtrip",
         "kg_nquads_roundtrip",
         "kg_rdfstar_reify",
