@@ -281,6 +281,10 @@ def write_baseline_md(timings: dict, scaling: dict | None, total: float,
         lines += [
             "## Scaling (north rule: throughput at two parallelism levels)",
             "",
+        ]
+        if scaling.get("_note"):
+            lines += [f"_{scaling['_note']}_", ""]
+        lines += [
             "Same input (pre-generated pages parquet), same code, fresh JVM per",
             "level, process tree pinned to N CPUs via sched_setaffinity — the",
             "sandbox stand-in for N vs 4N executors. Job: triple extraction →",
@@ -347,6 +351,18 @@ def main() -> None:
     scaling = None
     if not args.no_scaling and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         scaling = run_scaling()
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "scaling.json").write_text(json.dumps(scaling))
+    else:
+        # a quick --no-scaling run must not clobber the north-rule scaling
+        # evidence in BASELINE.md — reuse the last recorded measurement
+        try:
+            scaling = json.loads(
+                (REPO / "BENCH" / "scaling.json").read_text())
+            scaling["_note"] = ("carried over from the last full run "
+                                "(--no-scaling this run)")
+        except OSError:
+            scaling = None
 
     write_baseline_md(timings, scaling, total, kernels)
 
