@@ -531,3 +531,32 @@ def test_remove_boilerplate(spark):
     assert out[8]["text"] == "" and out[8]["n_paras_kept"] == 0
     assert out[9]["text"] == "no banner here\n\njust content"
     assert out[9]["n_paras_dropped"] == 0
+
+
+def test_lsh_bucket_topk_batch_matches_single(spark, embeddings):
+    """Batch ANN must return, per query, exactly what the single-query
+    bucketed top-k returns (same hyperplanes, probes, tie order)."""
+    qids = [0, 7, 30, 155]
+    queries = embeddings.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = similarity.lsh_bucket_topk_batch(
+        embeddings, queries, k=5, n_bits=6, probes=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in qids:
+        q = [float(x) for x in
+             embeddings.where(F.col("vec_id") == qid).first()["embedding"]]
+        want = [r["vec_id"] for r in similarity.lsh_bucket_topk(
+            embeddings, q, k=5, n_bits=6, probes=4).collect()]
+        assert [v for _, v in sorted(got[qid])] == want, qid
+
+
+def test_lsh_bucket_topk_batch_plan_is_jvm_side(spark, embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    df = similarity.lsh_bucket_topk_batch(embeddings, queries, k=3,
+                                          n_bits=6, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan

@@ -332,3 +332,82 @@ def embedding_centroids(embs: DataFrame, group_col: str = "label",
         .groupBy("grp", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("c"))
     )
+
+
+def lsh_bucket_topk_batch(embeddings: DataFrame, queries: DataFrame,
+                          k: int = 10, n_bits: int = 8, probes: int = 3,
+                          seed: int = 11, vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          query_id_col: str = "query_id",
+                          query_vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN: top-k neighbors for EVERY query vector in one job — the
+    retrieval workload (RAG lookups, near-dup candidate search for a whole
+    new shard) rather than one driver-side vector.
+
+    Plan shape: corpus bucketed once (n_bits hyperplane signs, pure
+    Catalyst), queries bucketed the same way + multiprobe buckets exploded
+    (probes rows per query), a bucket equi-join generates candidates, and
+    a per-query window keeps the top k by exact cosine — no crossJoin,
+    no driver-side loop over queries, every stage JVM-side.  At 2^n_bits
+    buckets the join touches ~probes/2^n_bits of |corpus|x|queries|.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(_first_vec(queries, query_vec_col))
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    corpus = hyperplane_signatures(embeddings, dim, n_bits, seed, vec_col) \
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"),
+                "bucket")
+
+    # query-side signature + multiprobe: base bucket plus the (probes-1)
+    # lowest-margin bit flips, as arrays of per-bit expressions
+    qv = F.col(query_vec_col)
+    bits = [
+        _dot(qv, F.array(*[F.lit(float(v)) for v in plane]))
+        for plane in planes
+    ]
+    base = sum(
+        (F.when(b > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i, b in enumerate(bits)), F.lit(0))
+    margin_idx = F.array_sort(F.array(*[
+        F.struct(F.abs(b).alias("m"), F.lit(i).alias("i"))
+        for i, b in enumerate(bits)
+    ]))
+    flips = F.transform(
+        F.slice(margin_idx, 1, max(0, probes - 1)),
+        # shiftleft needs a literal shift; 2^i via pow is exact for i<2^52
+        lambda s: F.pow(F.lit(2.0), s["i"].cast("double")).cast("long"))
+    probeset = F.array_union(F.array(base.cast("long")),
+                             F.transform(flips, lambda f: f.bitwiseXOR(
+                                 base.cast("long"))))
+    qb = (
+        queries.select(F.col(query_id_col).alias("_qid"),
+                       qv.alias("_qv"), F.explode(probeset).alias("bucket"))
+    )
+    cand = qb.join(corpus, "bucket")
+    scored = cand.select(
+        "_qid", "_cid",
+        _dot(F.col("_qv"), F.col("_cv")).alias("_dot"),
+        (_norm(F.col("_qv")) * _norm(F.col("_cv"))).alias("_nn"),
+    ).select(
+        "_qid", "_cid",
+        F.when(F.col("_nn") > 0, F.col("_dot") / F.col("_nn"))
+        .otherwise(F.lit(0.0)).alias("_score"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_score"), F.asc("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(F.col("_qid").alias(query_id_col),
+                F.col("_cid").alias(id_col),
+                F.round("_score", 4).alias("score"),
+                F.col("_rn").alias("rank"))
+    )
+
+
+def _first_vec(df: DataFrame, col: str) -> list:
+    row = df.select(col).first()
+    if row is None:
+        raise ValueError("empty query frame")
+    return list(row[0])
