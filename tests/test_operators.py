@@ -560,3 +560,21 @@ def test_lsh_bucket_topk_batch_plan_is_jvm_side(spark, embeddings):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_clusters(spark, embeddings):
+    """Planted near-dup pairs (i, i+1) for i%10==0 collapse into clusters
+    with min-id canonicals; everything else is a singleton."""
+    out = {r["vec_id"]: r for r in similarity.embedding_clusters(
+        embeddings, threshold=0.99, n_bits=4).collect()}
+    assert len(out) == 200
+    hits = 0
+    for i in range(0, 199, 10):
+        if out[i + 1]["cluster_id"] == out[i]["cluster_id"]:
+            hits += 1
+            assert out[i]["is_canonical"] and not out[i + 1]["is_canonical"]
+    assert hits / 20 >= 0.8  # LSH bucket recall bound (exact verify inside)
+    singles = [r for vid, r in out.items()
+               if vid % 10 not in (0, 1) and vid < 199]
+    assert all(r["is_canonical"] and r["cluster_id"] == r["vec_id"]
+               for r in singles)

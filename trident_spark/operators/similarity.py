@@ -411,3 +411,35 @@ def _first_vec(df: DataFrame, col: str) -> list:
     if row is None:
         raise ValueError("empty query frame")
     return list(row[0])
+
+
+def embedding_clusters(embeddings: DataFrame, threshold: float = 0.9,
+                       n_bits: int = 8, seed: int = 11,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Cluster near-duplicate embeddings and pick one canonical vector per
+    cluster — the embedding twin of operators/dedup.dedup_clusters (pairs
+    alone don't dedup: A~B, B~C must collapse to one kept vector even when
+    A~C was never a candidate pair).
+
+    Hyperplane-LSH candidate pairs (exact-cosine verified ≥ threshold, see
+    :func:`embedding_near_dup_pairs`) become edges; large-star/small-star
+    connected components assign the MINIMUM reachable id as cluster id;
+    singletons self-label.  Output: (id, cluster_id, is_canonical)."""
+    from trident_spark.pipeline.cc import connected_components
+
+    dim = len(_first_vec(embeddings, vec_col))
+    pairs = embedding_near_dup_pairs(embeddings, threshold=threshold,
+                                     use_lsh=True, n_bits=n_bits, dim=dim,
+                                     vec_col=vec_col, id_col=id_col)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = connected_components(edges)
+    return (
+        embeddings.select(F.col(id_col))
+        .join(labels, embeddings[id_col] == labels["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
