@@ -87,3 +87,36 @@ def test_registry_loaded_once():
     r2 = L.load_registry()
     assert r1 is r2
     assert len(r1) > 9000
+
+
+def test_normalize_result_matches_reparse():
+    """Differential gate (CLAUDE.md rule 8): normalize() now builds its
+    ParsedTag from the canonicalized run directly; it must stay identical
+    to rendering + re-parsing, across the conformance corpus plus fuzzed
+    subtag combinations."""
+    import random
+
+    from trident_spark.conformance import LANGTAG_NORMALIZE_OK, LANGTAG_PARSE_OK
+    from trident_spark.kernels import langtag as L
+
+    reg = L.load_registry()
+    tags = [t for t, _ in LANGTAG_NORMALIZE_OK] + \
+        [t for t, _ in LANGTAG_PARSE_OK]
+    rng = random.Random(5)
+    subs = ["en", "de", "zh", "sr", "Latn", "Hant", "US", "DE", "RS",
+            "419", "x", "a", "min", "nan", "boont", "1996", "u", "co",
+            "phonebk", "yue", "cmn", "i-klingon", "art-lojban"]
+    for _ in range(3000):
+        tags.append("-".join(rng.choice(subs)
+                             for _ in range(rng.randint(1, 5))))
+    checked = 0
+    for t in tags:
+        try:
+            want = L._normalize_reparse(t, reg)
+        except L.LangTagError:
+            with pytest.raises(L.LangTagError):
+                L.normalize(t, reg)
+            continue
+        assert L.normalize(t, reg) == want, t
+        checked += 1
+    assert checked > 800

@@ -433,9 +433,31 @@ def normalize(tag: str, registry: dict | None = None) -> ParsedTag:
     run = _Run(reg, tag, check_validity=check)
     run.parse()
     run.canonicalize()
-    canonical = run.render()
-    # re-parse the canonical string so positions/fields reflect the output
-    final = _Run(reg, canonical, check_validity=False)
+    # canonicalize mutates the run's subtag fields in place, so its result
+    # equals re-parsing the rendered canonical string — enforced by the
+    # differential gate tests/test_langtag_kernel.py::
+    # test_normalize_result_matches_reparse (fast-path rule, CLAUDE.md #8)
+    return run.result(is_gf)
+
+
+def _normalize_reparse(tag: str, registry: dict | None = None) -> ParsedTag:
+    """The pre-optimization reference path: render the canonical form and
+    re-parse it.  Kept ONLY as the slow side of the differential gate."""
+    reg = registry if registry is not None else load_registry()
+    _check_charset(tag)
+    is_gf = False
+    check = True
+    rec = reg.get(tag.lower())
+    if rec and rec.get("type") in ("grandfathered", "redundant"):
+        if rec.get("preferred"):
+            tag = rec["preferred"]
+        elif rec.get("type") == "grandfathered":
+            is_gf = True
+            check = False
+    run = _Run(reg, tag, check_validity=check)
+    run.parse()
+    run.canonicalize()
+    final = _Run(reg, run.render(), check_validity=False)
     final.parse()
     return final.result(is_gf)
 
