@@ -1471,3 +1471,24 @@ def test_order_by_expression(spark, graph):
     """)
     assert [r["n"] for r in df.collect()] == [
         "Globex", "Alice", "Acme", "Bob"]
+
+
+def test_construct_over_quads_dataset_semantics(spark, quads):
+    """CONSTRUCT over a quads frame: top-level WHERE patterns see only the
+    default graph; GRAPH patterns reach the named graphs — consistent with
+    query() and describe()."""
+    from trident_spark.query.sparql import construct
+
+    out = construct(quads, """
+        PREFIX schema: <https://schema.org/>
+        CONSTRUCT { ?s <http://x/seen> ?n }
+        WHERE { GRAPH <http://g/1> { ?s schema:name ?n } }
+    """)
+    got = {(r["subj"], r["obj_lexical"]) for r in out.collect()}
+    assert got == {("http://x/alice", "Alice")}
+    # top-level pattern = default graph only (type assertions live there)
+    out2 = construct(quads, """
+        PREFIX schema: <https://schema.org/>
+        CONSTRUCT { ?s <http://x/isa> ?t } WHERE { ?s a ?t }
+    """)
+    assert out2.count() == 2  # alice + bob, not the named-graph facts

@@ -1747,6 +1747,13 @@ def construct(triples: DataFrame, sparql: str) -> DataFrame:
     datatype/language tags are not tracked through variables — constructed
     literals are plain, documented as a simplification of RDF 1.1
     CONSTRUCT semantics."""
+    # quads input: SPARQL dataset semantics, same as query()/describe() —
+    # top-level WHERE patterns see the default graph, GRAPH the named ones
+    if "graph" in triples.columns:
+        quads: DataFrame | None = triples
+        triples = triples.where(F.col("graph").isNull())
+    else:
+        quads = None
     toks, prefixes = _prep(sparql)
     if not toks or toks[0].upper() != "CONSTRUCT":
         raise SparqlError("expected CONSTRUCT")
@@ -1762,9 +1769,10 @@ def construct(triples: DataFrame, sparql: str) -> DataFrame:
     if toks[j:]:
         raise SparqlError(
             f"unexpected token after CONSTRUCT WHERE: {toks[j]!r}")
-    plan, bound = _compile_group(triples, group, prefixes,
+    plan, bound = _compile_group(triples, group, prefixes, quads=quads,
                                  want_meta=_template_obj_vars(template))
-    return _instantiate(triples, template, plan, bound, prefixes)
+    return _instantiate(quads if quads is not None else triples,
+                        template, plan, bound, prefixes)
 
 
 def _template_obj_vars(template: list | None) -> set[str]:
