@@ -1492,3 +1492,10 @@ def test_construct_over_quads_dataset_semantics(spark, quads):
         CONSTRUCT { ?s <http://x/isa> ?t } WHERE { ?s a ?t }
     """)
     assert out2.count() == 2  # alice + bob, not the named-graph facts
+
+
+def test_update_on_quads_redirects_loudly(spark, quads):
+    from trident_spark.query.sparql import update
+
+    with pytest.raises(SparqlError, match="update_quads"):
+        update(quads, 'INSERT DATA { <http://x/s> <http://p/p> "v" . }')

@@ -1899,6 +1899,10 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
     same-lexical literals with different datatypes delete together).
     Inserted rows carry NULL datatype/lang and NULL for any extra columns
     of the input frame."""
+    if "graph" in triples.columns:
+        raise SparqlError(
+            "update() on a quads frame would delete across every graph — "
+            "use update_quads() for graph-aware Update semantics")
     toks, prefixes = _prep(sparql)
     if not toks:
         raise SparqlError("empty update")
