@@ -578,3 +578,33 @@ def test_embedding_clusters(spark, embeddings):
                if vid % 10 not in (0, 1) and vid < 199]
     assert all(r["is_canonical"] and r["cluster_id"] == r["vec_id"]
                for r in singles)
+
+
+def test_canonicalize_url_unit():
+    from trident_spark.operators.urls import canonicalize_url as C
+
+    assert C("HTTP://Example.COM:80/a/../b?utm_source=x&b=2&a=1#frag") == \
+        "http://example.com/b?a=1&b=2"
+    assert C("https://example.org/p?fbclid=abc") == "https://example.org/p"
+    assert C("https://example.org/p?x=1&X=2") == "https://example.org/p?X=2&x=1"
+    assert C("not a url") is None
+    assert C("https://example.org/p") == "https://example.org/p"
+
+
+def test_dedup_by_url(spark):
+    import datetime as dt
+
+    from trident_spark.operators.urls import dedup_by_url
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://EX.com/a?utm_source=x", t, "old"),
+        ("http://ex.com/a", t + dt.timedelta(days=1), "new"),
+        ("http://ex.com/b", t, "only"),
+        ("::bad url::", t, "kept-anyway"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, tag string")
+    out = {r["tag"]: r for r in dedup_by_url(df).collect()}
+    assert set(out) == {"new", "only", "kept-anyway"}  # 'old' superseded
+    assert out["new"]["canonical_url"] == "http://ex.com/a"
+    assert out["kept-anyway"]["canonical_url"] is None
