@@ -608,3 +608,24 @@ def test_dedup_by_url(spark):
     assert set(out) == {"new", "only", "kept-anyway"}  # 'old' superseded
     assert out["new"]["canonical_url"] == "http://ex.com/a"
     assert out["kept-anyway"]["canonical_url"] is None
+
+
+def test_gopher_quality_filter(spark):
+    good = ("the quick brown fox jumps over the lazy dog and keeps going "
+            * 10).strip()
+    rows = [
+        (1, good),
+        (2, "too short"),
+        (3, "### " * 100),                       # symbols, no alpha
+        (4, "\n".join("- item %d here now ok" % i for i in range(40))),
+        (5, " ".join("a" for _ in range(100))),  # mean word len 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.gopher_quality_filter(df).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == []
+    assert not out[2]["keep"] and "word_count" in out[2]["reasons"]
+    assert not out[3]["keep"]
+    assert {"symbol_ratio", "alpha_words"} <= set(out[3]["reasons"])
+    assert not out[4]["keep"] and "bullet_ratio" in out[4]["reasons"]
+    assert not out[5]["keep"] and "mean_word_length" in out[5]["reasons"]

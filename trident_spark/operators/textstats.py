@@ -332,3 +332,59 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
             F.coalesce("n_paras_dropped", F.lit(0)).alias("n_paras_dropped"),
         )
     )
+
+
+def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          max_bullet_ratio: float = 0.9,
+                          min_alpha_word_ratio: float = 0.8
+                          ) -> DataFrame:
+    """Gopher/C4-style document quality rules, pure Catalyst: returns
+    (id, keep, reasons) where ``reasons`` lists every violated rule (an
+    auditable filter — a corpus pipeline logs WHY a doc was dropped, not
+    just that it was).  Rules (names follow the Gopher paper's repetition/
+    quality heuristics, thresholds overridable):
+
+    - word_count: min_words ≤ #words ≤ max_words
+    - mean_word_length: within [min, max]
+    - symbol_ratio: '#' and ellipsis chars / words ≤ max
+    - bullet_ratio: lines starting with a bullet ≤ max of all lines
+    - alpha_words: fraction of words containing ≥1 alphabetic char ≥ min
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    n_chars_nonws = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    mean_wl = n_chars_nonws / F.greatest(n_words, F.lit(1))
+    n_sym = (F.length(F.col(text_col))
+             - F.length(F.regexp_replace(F.col(text_col), r"[#…]", "")))
+    sym_ratio = n_sym / F.greatest(n_words, F.lit(1))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    n_bullets = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])\s")))
+    bullet_ratio = n_bullets / F.greatest(n_lines, F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha / F.greatest(n_words, F.lit(1))
+
+    checks = [
+        ("word_count",
+         (n_words >= min_words) & (n_words <= max_words)),
+        ("mean_word_length",
+         (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)),
+        ("symbol_ratio", sym_ratio <= max_symbol_ratio),
+        ("bullet_ratio", bullet_ratio <= max_bullet_ratio),
+        ("alpha_words", alpha_ratio >= min_alpha_word_ratio),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(~ok, F.lit(name)) for name, ok in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        id_col,
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
