@@ -629,3 +629,20 @@ def test_gopher_quality_filter(spark):
     assert {"symbol_ratio", "alpha_words"} <= set(out[3]["reasons"])
     assert not out[4]["keep"] and "bullet_ratio" in out[4]["reasons"]
     assert not out[5]["keep"] and "mean_word_length" in out[5]["reasons"]
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "unique one\nunique two\n\nunique three para"),
+        (2, "same line\nsame line\nsame line\nother"),
+        (3, "spam spam spam spam spam spam"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_signals(df).collect()}
+    assert out[1]["dup_line_fraction"] == 0.0
+    assert out[1]["dup_para_fraction"] == 0.0
+    assert out[2]["dup_line_fraction"] == 0.5  # 4 lines, 2 distinct
+    assert out[3]["top_bigram_fraction"] == 1.0  # 'spam spam' everywhere
+    assert out[4]["dup_line_fraction"] == 0.0  # empty doc is all-zero

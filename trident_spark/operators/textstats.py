@@ -388,3 +388,54 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition heuristics, per document and pure Catalyst:
+
+    - dup_line_fraction: 1 − distinct(non-empty lines)/lines
+    - dup_para_fraction: same over blank-line-separated paragraphs
+    - top_bigram_fraction: occurrences of the most frequent word bigram
+      over all bigram slots (boilerplate/spam marker)
+
+    Array expressions only (no shuffle, no Python) — combine with
+    :func:`gopher_quality_filter` for the full Gopher rule set."""
+    def frac_dup(parts):
+        n = F.size(parts)
+        return F.when(
+            n > 0,
+            F.round(1.0 - F.size(F.array_distinct(parts)) / n, 4)
+        ).otherwise(0.0)
+
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != "")
+    paras = F.filter(F.split(F.col(text_col), r"\n{2,}"),
+                     lambda p: F.trim(p) != "")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_toks = F.size(toks)
+    grams = F.when(n_toks >= 2, F.transform(
+        F.sequence(F.lit(1), n_toks - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    # most-frequent-bigram count via aggregate over the distinct grams.
+    # O(distinct × grams) per document, so cap the window at the first
+    # 2000 bigram slots — repetition spam dominates early and the signal
+    # is a ratio, robust to truncation; the cap bounds per-row cost at
+    # any document length (no quadratic blowup on 1MB docs).
+    grams = F.slice(grams, 1, 2000)
+    top = F.aggregate(
+        F.array_distinct(grams).alias("d"),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(grams, lambda x: x == g))),
+    )
+    top_frac = F.when(F.size(grams) > 0,
+                      F.round(top / F.size(grams), 4)).otherwise(0.0)
+    return docs.select(
+        id_col,
+        frac_dup(lines).alias("dup_line_fraction"),
+        frac_dup(paras).alias("dup_para_fraction"),
+        top_frac.alias("top_bigram_fraction"),
+    )
