@@ -1499,3 +1499,87 @@ def test_update_on_quads_redirects_loudly(spark, quads):
 
     with pytest.raises(SparqlError, match="update_quads"):
         update(quads, 'INSERT DATA { <http://x/s> <http://p/p> "v" . }')
+
+
+def test_is_blank_on_subject_position_var(spark):
+    """isIRI/isBLANK on a var bound only in SUBJECT position works (kind
+    derived from the label shape) instead of crashing on a missing hidden
+    column; LANG() on it is '' (subjects are never literals)."""
+    rows = [
+        ("_:b1", "http://p/n", "v1", "literal", None, None),
+        ("http://x/a", "http://p/n", "v2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, "SELECT ?o WHERE { ?s <http://p/n> ?o . FILTER(isBLANK(?s)) }")
+    assert [r["o"] for r in df.collect()] == ["v1"]
+    df2 = query(g, """SELECT ?o WHERE {
+        ?s <http://p/n> ?o . FILTER(isIRI(?s) && LANG(?s) = "") }""")
+    assert [r["o"] for r in df2.collect()] == ["v2"]
+
+
+def test_meta_filter_on_expression_var_is_loud(spark, graph):
+    with pytest.raises(SparqlError, match="requires"):
+        query(graph, """
+            PREFIX schema: <https://schema.org/>
+            SELECT ?x WHERE {
+                ?s schema:name ?n . BIND(UCASE(?n) AS ?x)
+                FILTER(isLITERAL(?x))
+            }
+        """)
+
+
+def test_regex_with_backslash_class(spark):
+    rows = [("http://x/a", "http://p/n", "doc42", "literal", None, None),
+            ("http://x/b", "http://p/n", "nope", "literal", None, None),
+            ("http://x/c", "http://p/n", "a\\b", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, r'SELECT ?s WHERE { ?s <http://p/n> ?o . FILTER(REGEX(?o, "\\d+")) }')
+    assert [r["s"] for r in df.collect()] == ["http://x/a"]
+    df2 = query(g, r'SELECT ?s WHERE { ?s <http://p/n> ?o . FILTER(?o = "a\\b") }')
+    assert [r["s"] for r in df2.collect()] == ["http://x/c"]
+
+
+def test_numeric_boolean_object_constants(spark):
+    rows = [("http://x/a", "http://p/age", "42", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None),
+            ("http://x/b", "http://p/ok", "true", "literal",
+             "http://www.w3.org/2001/XMLSchema#boolean", None)]
+    g = spark.createDataFrame(rows, COLS)
+    assert [r["s"] for r in query(
+        g, "SELECT ?s WHERE { ?s <http://p/age> 42 . }").collect()] \
+        == ["http://x/a"]
+    assert [r["s"] for r in query(
+        g, "SELECT ?s WHERE { ?s <http://p/ok> true . }").collect()] \
+        == ["http://x/b"]
+
+
+def test_prefix_shaped_string_literal_survives(spark, graph):
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            ?s schema:name ?n .
+            FILTER(?n != "PREFIX p: <http://evil/>")
+        }
+    """)
+    assert df.count() == 4  # nothing rewritten, nothing dropped
+
+
+def test_construct_blank_template_fresh_per_solution(spark, graph):
+    from trident_spark.query.sparql import construct
+
+    out = construct(graph, """
+        PREFIX schema: <https://schema.org/>
+        CONSTRUCT { ?p schema:addr _:a } WHERE { ?p a schema:Person }
+    """)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["obj_kind"] == "blank" for r in rows)
+    assert len({r["obj_lexical"] for r in rows}) == 2  # fresh per solution
+
+
+def test_malformed_queries_raise_sparql_error(spark, graph):
+    for bad in ["SELECT * WHERE { ?s <http://p>/<http://q>",
+                "CONSTRUCT { <http://s> <http://p> <http://o> } WHERE",
+                "SELECT ?s WHERE { ?s ?p ?o } LIMIT abc"]:
+        with pytest.raises(SparqlError):
+            query(graph, bad)

@@ -38,12 +38,21 @@ be fully bound (UNDEF raises); SUM/AVG cast the lexical form to double;
 HAVING aggregate expressions must repeat an aggregate already named in the
 SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
 top-level patterns then match the default graph per SPARQL dataset
-semantics) and property-path closures inside ``GRAPH ?var`` are rejected;
-no federation.
+semantics); property paths inside ``GRAPH ?var`` compute per-graph
+closures (nested GRAPH scopes are rejected loudly); no federation.
+
+Join semantics: runs of plain patterns join on 64-bit TERM-IDENTITY ids
+(a literal never matches an IRI with the same lexical form — the SPARQL
+semantics); patterns compiled on the single-pattern path (repeated vars
+aside, which add a same-term constraint: metadata-attachment patterns,
+GRAPH-var scopes, property-path endpoints) join on the lexical form
+alone, a documented approximation that diverges only when a literal and
+an IRI share their lexical form across join positions.
 
 The WHERE block is tokenized by a scanner that respects ``<>``-delimited
-IRIs and quoted literals, so statement splitting and filter rewriting can
-never corrupt IRIs or strings containing ``.``/``=``/``&&``.
+IRIs and quoted literals (PREFIX declarations are lifted from the TOKEN
+stream), so statement splitting and filter rewriting can never corrupt
+IRIs or strings containing ``.``/``=``/``&&``/``PREFIX``.
 """
 
 from __future__ import annotations
@@ -56,6 +65,10 @@ from pyspark.sql import DataFrame, functions as F
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>\s]*)>", re.IGNORECASE)
+
+# bare numeric / boolean object shorthand (the tokenizer's unsigned number
+# class plus true/false) — matched as typed literals on their lexical form
+_PLAIN_SCALAR = re.compile(r"^(?:[0-9]+(?:\.[0-9]+)?|true|false)$")
 
 # scanner: IRIs and quoted literals are atomic tokens, so nothing downstream
 # can mistake a '.' inside an IRI for a statement terminator or rewrite an
@@ -78,6 +91,24 @@ _TOKEN_RE = re.compile(
 
 class SparqlError(ValueError):
     pass
+
+
+def _public(fn):
+    """Public-entry guard: malformed/truncated queries surface as
+    SparqlError (the module's documented error type) instead of bare
+    IndexError/ValueError from token lookahead or int() parses."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except SparqlError:
+            raise
+        except (IndexError, ValueError) as e:
+            raise SparqlError(
+                f"malformed query ({type(e).__name__}: {e})") from e
+    return wrapped
 
 
 def _tokenize(s: str) -> list[str]:
@@ -418,15 +449,21 @@ def _expand(term: str, prefixes: dict[str, str]) -> str:
 
 
 def _sql_str(tok: str) -> str:
-    """SPARQL double-quoted literal token → SQL single-quoted string."""
+    """SPARQL double-quoted literal token → SQL single-quoted string.
+
+    Spark's SQL parser C-unescapes single-quoted literals (default
+    ``escapedStringLiterals=false``), so after decoding the SPARQL-level
+    escapes every remaining backslash must be RE-escaped — otherwise
+    REGEX(?x, "\\\\d+") reaches Spark as the regex "d+" and literal
+    comparisons against backslash-bearing strings silently miss."""
     body = re.match(r'"((?:[^"\\]|\\.)*)"', tok).group(1)
     body = body.replace("\\\"", '"').replace("\\\\", "\\")
+    body = body.replace("\\", "\\\\")
     return "'" + body.replace("'", "''") + "'"
 
 
 _FILTER_FUNCS = {
     "STRLEN": "length",
-    "REGEX": "regexp_like",
     "STRSTARTS": "startswith",
     "STRENDS": "endswith",
     "CONTAINS": "contains",
@@ -889,6 +926,12 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
                     (F.col("obj_kind") == "literal") & (F.col(col) == value)
                 )
                 continue
+            if col == "obj_lexical" and _PLAIN_SCALAR.match(term):
+                # numeric/boolean shorthand → typed-literal match (lexical
+                # + kind, per the engine's documented literal matching)
+                scan = scan.where((F.col("obj_kind") == "literal")
+                                  & (F.col(col) == term))
+                continue
             value = _expand(term, prefixes)
             if col == "obj_lexical":
                 scan = scan.where(F.col("obj_kind") == "iri")
@@ -1100,6 +1143,9 @@ def _run_pattern_scan(triples: DataFrame, pat: _Pattern,
             value = value.replace("\\\"", '"').replace("\\\\", "\\")
             scan = scan.where((F.col("obj_kind") == "literal")
                               & (F.col(col) == value))
+        elif slot == "obj" and _PLAIN_SCALAR.match(term):
+            scan = scan.where((F.col("obj_kind") == "literal")
+                              & (F.col(col) == term))
         else:
             if slot == "obj":
                 scan = scan.where(F.col("obj_kind") == "iri")
@@ -1248,6 +1294,9 @@ def _compile_group(triples: DataFrame, group: _Group,
                     "GRAPH requires a quads input (a 'graph' column)")
             term, sub = el[1], el[2]
             if term.startswith("?"):
+                if extra and "graph" in extra:
+                    raise SparqlError(
+                        "nested GRAPH ?var scopes are not supported")
                 frame = quads.where(F.col("graph").isNotNull())
                 sub_extra = {**(extra or {}), "graph": term[1:]}
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
@@ -1310,14 +1359,16 @@ def _compile_group(triples: DataFrame, group: _Group,
                         sub_needed |= _all_vars(other)
             if el[0] == "union":
                 left, lv = _compile_group(triples, el[1], prefixes, quads,
-                                          extra, needed=sub_needed)
+                                          extra, want_meta=meta,
+                                          needed=sub_needed)
                 right, rv = _compile_group(triples, el[2], prefixes, quads,
-                                           extra, needed=sub_needed)
+                                           extra, want_meta=meta,
+                                           needed=sub_needed)
                 scan = left.unionByName(right, allowMissingColumns=True)
                 vars_, how = lv | rv, "inner"
             else:
                 scan, vars_ = _compile_group(triples, el[1], prefixes,
-                                             quads, extra,
+                                             quads, extra, want_meta=meta,
                                              needed=sub_needed)
                 how = "left" if el[0] == "optional" else "inner"
         else:  # pragma: no cover
@@ -1330,6 +1381,43 @@ def _compile_group(triples: DataFrame, group: _Group,
             plan, bound = _join(plan, bound, scan, vars_, how)
     if plan is None:
         raise SparqlError("empty group pattern")
+    # metadata filters on vars bound in SUBJECT/PREDICATE position: kind
+    # is derivable there (a subject is blank iff its label starts '_:';
+    # subjects/predicates are never literals), so derive the hidden
+    # columns instead of crashing with an unresolved-column error; any
+    # other un-attached metadata var is a loud SparqlError
+    if meta_filter:
+        subjpred = set()
+        def _collect_sp(els):
+            for e0 in els:
+                if isinstance(e0, _Pattern):
+                    if e0.subj.startswith("?"):
+                        subjpred.add(e0.subj[1:])
+                    if isinstance(e0.pred, str) and e0.pred.startswith("?"):
+                        subjpred.add(e0.pred[1:])
+                elif isinstance(e0, tuple) and e0 and e0[0] in (
+                        "optional", "group", "graph"):
+                    sub = e0[2] if e0[0] == "graph" else e0[1]
+                    _collect_sp(sub.elements)
+                elif isinstance(e0, tuple) and e0 and e0[0] == "union":
+                    _collect_sp(e0[1].elements)
+                    _collect_sp(e0[2].elements)
+        _collect_sp(group.elements)
+        for v in sorted(meta_filter):
+            if f"_kind_{v}" in plan.columns or v not in bound:
+                continue
+            if v in subjpred:
+                plan = (plan.withColumn(
+                    f"_kind_{v}",
+                    F.when(F.col(v).startswith("_:"), F.lit("blank"))
+                    .otherwise(F.lit("iri")))
+                    .withColumn(f"_lang_{v}",
+                                F.lit(None).cast("string"))
+                    .withColumn(f"_dt_{v}", F.lit(None).cast("string")))
+            else:
+                raise SparqlError(
+                    f"isIRI/LANG/DATATYPE(?{v}) requires ?{v} bound by a "
+                    "triple pattern in this group")
     # SPARQL filter scope: the enclosing group, after all elements joined
     for ftoks in filters:
         plan = plan.where(_filter_sql(ftoks, set(plan.columns)))
@@ -1631,12 +1719,30 @@ def _compile_select(triples: DataFrame, toks: list[str],
     return plan, out_cols
 
 
+_PNAME_DECL = re.compile(r"^(?:[A-Za-z_][A-Za-z0-9_\-]*)?:$")
+
+
 def _prep(sparql: str) -> tuple[list[str], dict[str, str]]:
-    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(sparql)}
-    stripped = _PREFIX_RE.sub(" ", sparql).strip()
-    return _tokenize(stripped), prefixes
+    """Tokenize, then lift PREFIX declarations out of the TOKEN stream —
+    regexing the raw text would rewrite PREFIX-shaped content inside
+    quoted string literals (which are atomic tokens to the scanner)."""
+    toks = _tokenize(sparql)
+    prefixes: dict[str, str] = {}
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (toks[i].upper() == "PREFIX" and i + 2 < len(toks)
+                and _PNAME_DECL.match(toks[i + 1])
+                and toks[i + 2].startswith("<")):
+            prefixes[toks[i + 1][:-1]] = toks[i + 2][1:-1]
+            i += 3
+            continue
+        out.append(toks[i])
+        i += 1
+    return out, prefixes
 
 
+@_public
 def query(triples: DataFrame, sparql: str) -> DataFrame:
     """Run a SELECT or ASK query against lexical triples
     (subj, pred, obj_lexical, obj_kind, ...).  SELECT → one column per
@@ -1674,11 +1780,13 @@ def query(triples: DataFrame, sparql: str) -> DataFrame:
     return plan
 
 
+@_public
 def ask(triples: DataFrame, sparql: str) -> bool:
     """ASK convenience wrapper: compile + execute, return the boolean."""
     return bool(query(triples, sparql).head()["ask"])
 
 
+@_public
 def describe(triples: DataFrame, sparql: str) -> DataFrame:
     """DESCRIBE query form → the subgraph about the named resources
     (subj, pred, obj_lexical, obj_kind).
@@ -1738,6 +1846,7 @@ def describe(triples: DataFrame, sparql: str) -> DataFrame:
     )
 
 
+@_public
 def construct(triples: DataFrame, sparql: str) -> DataFrame:
     """CONSTRUCT { template } WHERE { ... } → a lexical-triples DataFrame
     (subj, pred, obj_lexical, obj_kind).
@@ -1819,6 +1928,16 @@ def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
             return F.col(v), None  # kind via dictionary join (objects only)
         if term.startswith('"'):
             return F.lit(_term_value(term, prefixes)), F.lit("literal")
+        if term.startswith("_:"):
+            # a template blank label means a FRESH blank node per solution
+            # (SPARQL 1.1 §16.2.1) — derived from the solution's bindings
+            # + the label, so identical solutions collapse (the output is
+            # a set) and distinct solutions never share a node
+            key = F.concat_ws(
+                "\x1f", F.lit(term),
+                *[F.coalesce(F.col(v).cast("string"), F.lit(""))
+                  for v in sorted(bound)])
+            return F.concat(F.lit("_:c"), F.md5(key)), F.lit("blank")
         return F.lit(_expand(term, prefixes)), F.lit("iri")
 
     outs = []
@@ -1884,6 +2003,7 @@ def _ground_rows(group: _Group, prefixes: dict[str, str]) -> list[tuple]:
 _CORE = ["subj", "pred", "obj_lexical", "obj_kind"]
 
 
+@_public
 def update(triples: DataFrame, sparql: str) -> DataFrame:
     """SPARQL 1.1 Update over an immutable graph: returns the NEW lexical
     triples frame (never mutates the input — the natural Update semantics
@@ -2042,6 +2162,7 @@ def _flatten_template(group: _Group, with_graph: str | None,
     return out
 
 
+@_public
 def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
     """SPARQL 1.1 Update with graph scope over an immutable quads frame
     (``graph`` column, NULL = default graph): returns the NEW quads frame
@@ -2264,6 +2385,7 @@ def _apply_templates(quads, spark, prefixes, with_graph, using, group,
 # ---------------------------------------------------------------------------
 
 
+@_public
 def query_encoded(edges: DataFrame, terms: DataFrame,
                   sparql: str) -> DataFrame:
     """SELECT over dictionary-encoded edges — the pipeline-warehouse path.
@@ -2311,12 +2433,16 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
                     "in query_encoded (plain literals only)")
             value = _term_value(term, prefixes)
             return spark_xxhash64("literal", value, "", "")
+        if pos == "obj" and _PLAIN_SCALAR.match(term):
+            # NB: ids include the datatype, so this matches PLAIN literals
+            # with this lexical form (a stored "42"^^xsd:integer has a
+            # different id) — consistent with the plain-literal-only rule
+            return spark_xxhash64("literal", term, "", "")
         return spark_xxhash64("iri", _expand(term, prefixes), "", "")
 
     id_col = {"subj": "subj_id", "pred": "pred_id", "obj": "obj_id"}
     plan: DataFrame | None = None
     bound: set[str] = set()
-    first_binder: dict[str, None] = {}
     for pat in _reorder_patterns(pats):
         scan = edges
         rename: dict[str, str] = {}
