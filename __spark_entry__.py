@@ -885,16 +885,16 @@ _EXTRA_TTL = ('@prefix s: <https://schema.org/> .\n'
               '<https://docs.trident-spark.dev/extra/1> s:author '
               '[ s:name "Ada" ; s:knows ( "b1" "b2" ) ] .')
 _EXTRA_TTL_ROWS = [
-    # (subj, pred, obj_lexical, obj_kind, obj_datatype) — salt 57159b33ecd0
+    # (subj, pred, obj_lexical, obj_kind, obj_datatype) — salt 4c0ee4b3064c45114bf5d4281229395b
     ("https://docs.trident-spark.dev/extra/1", SCHEMA + "author",
-     "_:g57159b33ecd0n1", "blank", ""),
-    ("_:g57159b33ecd0n1", SCHEMA + "name", "Ada", "literal", ""),
-    ("_:g57159b33ecd0n1", SCHEMA + "knows", "_:g57159b33ecd0n2", "blank", ""),
-    ("_:g57159b33ecd0n2", RDF_TYPE[:-4] + "first", "b1", "literal", ""),
-    ("_:g57159b33ecd0n2", RDF_TYPE[:-4] + "rest", "_:g57159b33ecd0n3",
+     "_:g4c0ee4b3064c45114bf5d4281229395bn1", "blank", ""),
+    ("_:g4c0ee4b3064c45114bf5d4281229395bn1", SCHEMA + "name", "Ada", "literal", ""),
+    ("_:g4c0ee4b3064c45114bf5d4281229395bn1", SCHEMA + "knows", "_:g4c0ee4b3064c45114bf5d4281229395bn2", "blank", ""),
+    ("_:g4c0ee4b3064c45114bf5d4281229395bn2", RDF_TYPE[:-4] + "first", "b1", "literal", ""),
+    ("_:g4c0ee4b3064c45114bf5d4281229395bn2", RDF_TYPE[:-4] + "rest", "_:g4c0ee4b3064c45114bf5d4281229395bn3",
      "blank", ""),
-    ("_:g57159b33ecd0n3", RDF_TYPE[:-4] + "first", "b2", "literal", ""),
-    ("_:g57159b33ecd0n3", RDF_TYPE[:-4] + "rest", RDF_TYPE[:-4] + "nil",
+    ("_:g4c0ee4b3064c45114bf5d4281229395bn3", RDF_TYPE[:-4] + "first", "b2", "literal", ""),
+    ("_:g4c0ee4b3064c45114bf5d4281229395bn3", RDF_TYPE[:-4] + "rest", RDF_TYPE[:-4] + "nil",
      "iri", ""),
 ]
 

@@ -451,3 +451,48 @@ def test_to_turtle_empty_prefixes_is_standalone(spark):
     text = "\n".join(r["block"] for r in blocks)
     assert "@prefix" not in text and "schema:" not in text
     assert set(parse_turtle(text)) == set(map(tuple, rows))
+
+
+def test_pname_trailing_dot_is_statement_terminator():
+    got = parse_turtle("@prefix e: <http://e.org/> . e:s e:p e:o.")
+    assert got == [("http://e.org/s", "http://e.org/p", "http://e.org/o",
+                    "iri", None, None)]
+    got2 = parse_turtle(
+        "@prefix e: <http://e.org/> . e:s e:p e:o.1 .")
+    # dot INSIDE the local name still allowed (o.1 doesn't end with '.')
+    assert got2[0][2] == "http://e.org/o.1"
+
+
+def test_relative_base_resolves_against_scope():
+    got = parse_turtle("""
+        @base <http://a.org/x/> . @base <b/> .
+        <c> <http://p/q> <d> .
+    """)
+    assert got == [("http://a.org/x/b/c", "http://p/q",
+                    "http://a.org/x/b/d", "iri", None, None)]
+
+
+def test_iri_uchar_escapes_and_invalid_backslash():
+    got = parse_turtle('<http://e.org/\\u00E9> <http://p/q> "x" .')
+    assert got[0][0] == "http://e.org/é"
+    with pytest.raises(TurtleError, match="invalid backslash"):
+        parse_turtle('<http://e.org/\\q> <http://p/q> "x" .')
+
+
+def test_surrogate_escape_rejected():
+    with pytest.raises(TurtleError, match="surrogate"):
+        parse_turtle('<http://s/> <http://p/> "\\uD83D\\uDE00" .')
+
+
+def test_leading_dot_decimal():
+    got = parse_turtle("<http://s/> <http://p/> .5 .")
+    assert got[0][2:4] == (".5", "literal")
+
+
+def test_multiple_annotation_blocks():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    got = parse_turtle(
+        '<http://s/> <http://p/> "v" {| <http://a/> 1 |} '
+        '{| <http://b/> 2 |} .')
+    reifiers = [t[0] for t in got if t[1] == rdf + "reifies"]
+    assert len(reifiers) == 2 and reifiers[0] != reifiers[1]

@@ -44,7 +44,7 @@ def parse_jsonld(text: str, base_url: str = "",
     ctx = X._Ctx(base_url)
     # salt GENERATED labels at the source (doc-authored _:labels stay
     # verbatim, so serialized frames round-trip)
-    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=6).hexdigest()
+    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
     counter = {"n": 0}
 
     def new_bnode() -> str:
@@ -74,7 +74,9 @@ def from_jsonld(docs: DataFrame, doc_col: str = "doc", base_url: str = "",
                     rows.extend(parse_jsonld(text, base_url, vocab))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(run, JSONLD_PARSED_SCHEMA)
+    from trident_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs).mapInPandas(run, JSONLD_PARSED_SCHEMA)
 
 
 def to_jsonld(triples: DataFrame) -> DataFrame:

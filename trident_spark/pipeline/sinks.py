@@ -137,7 +137,9 @@ def from_nquads(lines: DataFrame, errors: str = "strict") -> DataFrame:
                          "obj_datatype", "obj_lang", "graph", "error"],
             )
 
-    out = lines.mapInPandas(
+    from trident_spark.util import ensure_parallelism
+
+    out = ensure_parallelism(lines).mapInPandas(
         run, NT_PARSED_SCHEMA + ", graph string, error string")
     return out if quarantine else out.drop("error")
 
@@ -187,9 +189,8 @@ def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
     rendered_obj = (
         F.when(F.col("obj_kind") == "iri", compact(obj))
         .when(F.col("obj_kind") == "blank", obj)  # label verbatim
-        # valid Turtle 1.2 triple-term syntax; note pipeline/turtle.py's
-        # parser reads classic Turtle only — triple-term round-trips go
-        # through N-Triples/N-Quads
+        # valid Turtle 1.2 triple-term syntax (pipeline/turtle.py parses
+        # it back, nesting included)
         .when(F.col("obj_kind") == "triple", obj)
         .when(F.col("obj_lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("obj_lang")))
         .when(F.col("obj_datatype").isNotNull(),
@@ -343,5 +344,8 @@ def from_ntriples(lines: DataFrame, errors: str = "strict") -> DataFrame:
                          "obj_datatype", "obj_lang", "error"],
             )
 
-    out = lines.mapInPandas(run, NT_PARSED_SCHEMA + ", error string")
+    from trident_spark.util import ensure_parallelism
+
+    out = ensure_parallelism(lines).mapInPandas(
+        run, NT_PARSED_SCHEMA + ", error string")
     return out if quarantine else out.drop("error")

@@ -21,10 +21,13 @@ ingested.  Supported surface (a practical Turtle subset):
 - RDF 1.2 triple terms ``<<( s p o )>>`` in object position (parsed to the
   pipeline's canonical ``obj_kind='triple'`` representation, nesting
   included — the inverse of what ``to_turtle`` renders for reified frames)
-- ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric escapes in string literals
+- RDF 1.2 reifier sugar ``<< s p o >>`` (subject + object position) and
+  annotation blocks ``{| … |}`` (repeatable; fresh reifier each)
+- ``\\uXXXX`` / ``\\UXXXXXXXX`` numeric escapes in string literals and
+  IRIREFs (surrogates rejected loudly)
 
 Not supported (raises TurtleError, never silently drops): triple-quoted
-strings and the ``<< s p o >>`` reifier sugar (use pipeline/rdfstar.reify).
+strings.
 
 Distribution model: one Turtle *document* per DataFrame row (Turtle is not
 line-oriented — a subject block spans lines, and prefixes scope the whole
@@ -59,10 +62,10 @@ _TOKEN_RE = re.compile(
     | @[A-Za-z][A-Za-z0-9\-]*                           # @prefix/@base/@lang
     | \^\^                                              # datatype marker
     | _:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])? # blank node label
-    | [A-Za-z_][\w\-]*:[\w\-.%]*                        # prefixed name ns:local
-    | :[\w\-.%]*                                        # default-ns pname
+    | [A-Za-z_][\w\-]*:(?:[\w\-%](?:[\w\-.%]*[\w\-%])?)?  # pname (PN_LOCAL
+    | :(?:[\w\-%](?:[\w\-.%]*[\w\-%])?)?                #  never ENDS with .)
     | [A-Za-z_][\w\-]*                                  # bare word (a, true, PREFIX)
-    | [+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?      # number
+    | [+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?  # number
     | [.;,{}\[\]()]                                     # punctuation
     """,
     re.VERBOSE,
@@ -82,7 +85,12 @@ _UNESCAPE_RE = re.compile(
 def _unescape_one(m: re.Match) -> str:
     tok = m.group(0)
     if tok[1] in "uU":
-        return chr(int(tok[2:], 16))
+        cp = int(tok[2:], 16)
+        if 0xD800 <= cp <= 0xDFFF:
+            # RDF UCHAR forbids surrogates; a lone surrogate would survive
+            # parsing only to crash the Arrow hop far from the document
+            raise TurtleError(f"surrogate code point in escape {tok!r}")
+        return chr(cp)
     try:
         return _UNESCAPE[tok]
     except KeyError:
@@ -108,7 +116,8 @@ def _tokenize(text: str) -> list[str]:
     return toks
 
 
-_NUMBER_RE = re.compile(r"^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+_NUMBER_RE = re.compile(
+    r"^[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$")
 
 
 class _Parser:
@@ -138,8 +147,19 @@ class _Parser:
 
     # -- term resolution ----------------------------------------------------
 
+    _IRI_UCHAR = re.compile(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\")
+
     def _iri(self, tok: str) -> str:
         val = tok[1:-1]
+        if "\\" in val:
+            # IRIREF UCHAR escapes decode; any other backslash is invalid
+            # in an IRIREF -> loud error, never raw backslash text
+            def dec(m: re.Match) -> str:
+                if len(m.group(0)) == 1:
+                    raise TurtleError(f"invalid backslash in IRI {tok!r}")
+                return _unescape_one(m)
+
+            val = self._IRI_UCHAR.sub(dec, val)
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", val):
             from trident_spark.kernels import iri as K
 
@@ -315,7 +335,8 @@ class _Parser:
             iri_tok = self._next()
             if not iri_tok.startswith("<"):
                 raise TurtleError(f"base IRI must be <...>, got {iri_tok!r}")
-            self.base = iri_tok[1:-1]
+            # each @base resolves against the base in scope (Turtle §6.3)
+            self.base = self._iri(iri_tok)
         else:
             raise TurtleError(f"unknown directive {tok!r}")
         if not sparql_style:
@@ -330,10 +351,10 @@ class _Parser:
             while True:  # object list
                 lex, kind, dt, lang = self._object(self._next())
                 self.out.append((subj, pred, lex, kind, dt, lang))
-                if self._peek() == "{|":
+                while self._peek() == "{|":
                     # RDF 1.2 annotation: the base triple IS asserted
-                    # (already appended); a fresh reifier carries the
-                    # annotation predicate-object list
+                    # (already appended); each block gets a fresh reifier
+                    # (annotation ::= (reifier | annotationBlock)*)
                     self._next()
                     r = self._reifier(subj, pred, (lex, kind, dt, lang))
                     self._predicate_object_list(r, ends=("|}",))
@@ -377,9 +398,7 @@ class _Parser:
         while self.i < len(self.toks):
             tok = self._next()
             up = tok.lstrip("@").upper()
-            if up in ("PREFIX", "BASE") and (
-                tok.startswith("@") or not tok.startswith("_:")
-            ):
+            if up in ("PREFIX", "BASE"):
                 self._directive(tok)
                 continue
             self._statement_body(tok)
@@ -427,9 +446,7 @@ class _TrigParser(_Parser):
         while self.i < len(self.toks):
             tok = self._next()
             up = tok.lstrip("@").upper()
-            if up in ("PREFIX", "BASE") and (
-                tok.startswith("@") or not tok.startswith("_:")
-            ):
+            if up in ("PREFIX", "BASE"):
                 self._directive(tok)
                 continue
             if tok == "{":
@@ -458,7 +475,7 @@ def parse_trig(text: str) -> list[tuple]:
     error contract and label salting as :func:`parse_turtle`."""
     import hashlib
 
-    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=6).hexdigest()
+    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
     return _TrigParser(_tokenize(text), salt=salt).parse()
 
 
@@ -481,7 +498,9 @@ def from_trig(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
                     rows.extend(parse_trig(text))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(run, TRIG_PARSED_SCHEMA)
+    from trident_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs).mapInPandas(run, TRIG_PARSED_SCHEMA)
 
 
 def parse_turtle(text: str) -> list[tuple]:
@@ -492,7 +511,7 @@ def parse_turtle(text: str) -> list[tuple]:
     deterministic per document, collision-free across documents."""
     import hashlib
 
-    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=6).hexdigest()
+    salt = hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
     return _Parser(_tokenize(text), salt=salt).parse()
 
 
@@ -515,4 +534,6 @@ def from_turtle(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
                     rows.extend(parse_turtle(text))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(run, TURTLE_PARSED_SCHEMA)
+    from trident_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs).mapInPandas(run, TURTLE_PARSED_SCHEMA)
