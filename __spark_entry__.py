@@ -77,21 +77,23 @@ def _distinct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc triples as quads: the capture url is the graph term."""
+    return _doc_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
+        "obj_lang", F.col("url").alias("graph"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: KG over sf0.001 documents, BGP join (?d provider ?o . ?o name ?n)."""
-    triples = _doc_triples(spark, "/root/testdata/sf0.001")
-    provider = triples.where(F.col("pred") == SCHEMA + "provider").select(
-        F.col("subj").alias("doc"), F.col("obj_lexical").alias("org")
-    )
-    name = triples.where(F.col("pred") == SCHEMA + "name").select(
-        F.col("subj").alias("org"), F.col("obj_lexical").alias("org_name")
-    ).distinct()
-    return provider.join(name, "org").select("doc", "org_name").orderBy("doc")
+    """Flagship: KG over sf0.001 documents, BGP join (?d provider ?o .
+    ?o name ?n) — exactly the oracle-checked q_kg_bgp_provider, ordered."""
+    return q_kg_bgp_provider(spark, "/root/testdata/sf0.001").orderBy("doc")
 
 
 # ---------------------------------------------------------------------------
@@ -907,10 +909,7 @@ def q_kg_sparql_update_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     set in SQL."""
     from trident_spark.query.sparql import update_quads
 
-    quads = _doc_triples(spark, sf_dir).select(
-        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
-        "obj_lang", F.col("url").alias("graph"),
-    )
+    quads = _doc_quads(spark, sf_dir)
     out = update_quads(
         quads,
         f"""
@@ -956,10 +955,7 @@ def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     default graph) + per-graph join + aggregate."""
     from trident_spark.query.sparql import query
 
-    quads = _doc_triples(spark, sf_dir).select(
-        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
-        "obj_lang", F.col("url").alias("graph"),
-    )
+    quads = _doc_quads(spark, sf_dir)
     return query(
         quads,
         f"""
@@ -1014,10 +1010,7 @@ def q_kg_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document SQL reconstruction (graph = doc IRI)."""
     from trident_spark.pipeline.sinks import from_nquads, to_nquads
 
-    quads = _doc_triples(spark, sf_dir).select(
-        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
-        "obj_lang", F.col("url").alias("graph"),
-    )
+    quads = _doc_quads(spark, sf_dir)
     lines = to_nquads(quads, graph_col="graph")
     parsed = from_nquads(lines)
     return parsed.select(
@@ -1083,10 +1076,7 @@ def q_kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.pipeline.sinks import to_trig, turtle_header
     from trident_spark.pipeline.turtle import from_trig
 
-    quads = _doc_triples(spark, sf_dir).select(
-        "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
-        "obj_lang", F.col("url").alias("graph"),
-    )
+    quads = _doc_quads(spark, sf_dir)
     chunks = to_trig(quads)
     docs = chunks.select(
         F.concat(F.lit(turtle_header() + "\n"), F.col("chunk")).alias("doc"))
@@ -1623,11 +1613,15 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the Spark side compares SECOND-TRUNCATED unix_timestamp deltas, so the
+# oracle must floor epochs too — exact INTERVAL comparison disagrees on
+# gaps within 1s of the 1800s boundary (the corpus HAS such gaps)
 _EVENTS_SESSION_ORACLE = """
 WITH g AS (
   SELECT user_id, ts, value,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   - floor(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts)))::BIGINT > 1800
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -1660,49 +1654,64 @@ def q_events_sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.streaming.sessionize import sessionize_stream
 
     ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
-    sentinels = ev.groupBy("user_id").agg(
-        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts")
-    ).select("user_id", "ts", F.lit(0.0).alias("value"))
+    # ONE synthetic sentinel user 10 days past the global max: its row
+    # advances the (global) watermark so availableNow's final batch fires
+    # every real user's event-time timeout, and filtering it back out is
+    # STRUCTURAL (user_id = -1), not dependent on any user's idle span
+    max_real_ts = ev.agg(F.max("ts")).first()[0]
+    sentinels = spark.createDataFrame(
+        [(-1, max_real_ts)], "user_id long, ts timestamp"
+    ).select("user_id", (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+             F.lit(0.0).alias("value"))
 
     tmp = tempfile.mkdtemp(prefix="sess_stream_")
     src = f"{tmp}/src"
     import os
 
     os.makedirs(src)
-    for i, frame in enumerate((ev, sentinels)):
-        stage = f"{tmp}/stage{i}"
-        frame.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
-        dst = f"{src}/{i}.parquet"
-        shutil.copy(f"{stage}/{part}", dst)
-        # modification-time order fixes batch order (latestFirst=false)
-        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    try:
+        for i, frame in enumerate((ev, sentinels)):
+            stage = f"{tmp}/stage{i}"
+            frame.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage)
+                        if p.endswith(".parquet"))
+            dst = f"{src}/{i}.parquet"
+            shutil.copy(f"{stage}/{part}", dst)
+            # modification-time order fixes batch order (latestFirst=false)
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp, value double")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(src)
-    )
-    name = "sessions_stream_" + os.path.basename(tmp).split("_")[-1]
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    # availableNow's final batch fires event-time timeouts, so most
-    # sentinel singleton sessions ALSO emit — drop everything starting
-    # after the real data's end (sentinels sit 10 days out)
-    max_real_ts = ev.agg(F.max("ts")).first()[0]
-    return (
-        spark.table(name)
-        .where(F.col("session_start") <= F.lit(max_real_ts))
-        .select("user_id", "session_start", "n_events", "session_value")
-    )
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        name = "sessions_stream_" + os.path.basename(tmp).split("_")[-1]
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "sessionization stream exceeded its 300s budget — "
+                "failing loudly instead of reading a partial sink")
+        out = (
+            spark.table(name)
+            .where(F.col("user_id") != -1)
+            .select("user_id", "session_start", "n_events", "session_value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # /tmp persists across sessions on this VM (CLAUDE.md rule 15) —
+        # never leak the staged parquet + checkpoint trees
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 # the stateful operator compares SECOND-TRUNCATED timestamps (the batch
@@ -1775,7 +1784,9 @@ def q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             extract_stage.raw_triples(extract_stage.extract_pages(pages))
         )
 
-    return triple_diff(triples_of(half), triples_of(docs)).select(
+    # the full-corpus side is exactly the cached extraction — only the
+    # half-corpus side needs a fresh Python pass
+    return triple_diff(triples_of(half), _doc_triples(spark, sf_dir)).select(
         "subj", "pred", "obj_lexical", "obj_kind",
         F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
         "change",
