@@ -37,14 +37,19 @@ def main() -> None:
     spark = get_spark(app_name="trident-spark-query")
     kg = args.kg.rstrip("/")
 
+    from pyspark.errors import AnalysisException
+
     df = None
     if args.engine in ("auto", "encoded"):
+        # AnalysisException: kg dir lacks terms/triples parquet (e.g. an
+        # N-Triples-only export) — in auto mode that falls through to the
+        # lexical engine just like an unsupported query fragment does.
         try:
             edges = spark.read.parquet(f"{kg}/triples")
             terms = spark.read.parquet(f"{kg}/terms")
             df = query_encoded(edges, terms, args.query)
             print("engine: encoded (id-column scans)", file=sys.stderr)
-        except SparqlError as e:
+        except (SparqlError, AnalysisException) as e:
             if args.engine == "encoded":
                 raise
             print(f"encoded path unsupported ({e}); using lexical engine",

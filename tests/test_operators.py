@@ -533,6 +533,21 @@ def test_remove_boilerplate(spark):
     assert out[9]["n_paras_dropped"] == 0
 
 
+def test_remove_boilerplate_at_exact_cutoff(spark):
+    """A paragraph repeated in EXACTLY max(int(n*frac), min_docs) documents
+    is boilerplate — the docstring says 'at least min_docs' (ADVICE r3:
+    strict > silently never dropped 2-doc repeats at min_docs=2)."""
+    rows = [(0, "SHARED FOOTER\n\nbody 0"), (1, "SHARED FOOTER\n\nbody 1"),
+            (2, "body 2"), (3, "body 3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.remove_boilerplate(
+        df, max_doc_frac=0.05, min_docs=2).collect()}
+    # cutoff = max(int(4*0.05), 2) = 2; footer appears in exactly 2 docs
+    assert out[0]["text"] == "body 0" and out[0]["n_paras_dropped"] == 1
+    assert out[1]["text"] == "body 1" and out[1]["n_paras_dropped"] == 1
+    assert out[2]["text"] == "body 2" and out[2]["n_paras_dropped"] == 0
+
+
 def test_lsh_bucket_topk_batch_matches_single(spark, embeddings):
     """Batch ANN must return, per query, exactly what the single-query
     bucketed top-k returns (same hyperplanes, probes, tie order)."""

@@ -1539,6 +1539,47 @@ def test_regex_with_backslash_class(spark):
     assert [r["s"] for r in df2.collect()] == ["http://x/c"]
 
 
+def test_echar_control_char_literals(spark):
+    """SPARQL ECHAR escapes (\\n \\t \\r \\b \\f) in string constants must
+    decode to real control characters — in FILTER expressions, in BIND, and
+    in triple-pattern object constants — matching a stored literal that
+    contains the actual control char (ADVICE r3: only \\" and \\\\ were
+    decoded, so these matched 0 rows)."""
+    rows = [("http://x/a", "http://p/n", "line1\nline2", "literal",
+             None, None),
+            ("http://x/b", "http://p/n", "tab\there", "literal", None, None),
+            ("http://x/c", "http://p/n", "plain", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    # FILTER equality against a \n-bearing constant
+    df = query(g, 'SELECT ?s WHERE { ?s <http://p/n> ?o . '
+                  'FILTER(?o = "line1\\nline2") }')
+    assert [r["s"] for r in df.collect()] == ["http://x/a"]
+    # triple-pattern object constant with \t
+    df2 = query(g, 'SELECT ?s WHERE { ?s <http://p/n> "tab\\there" . }')
+    assert [r["s"] for r in df2.collect()] == ["http://x/b"]
+    # BIND producing a control char round-trips into the result
+    df3 = query(g, 'SELECT ?x WHERE { <http://x/c> <http://p/n> ?o . '
+                   'BIND(CONCAT(?o, "\\r\\n") AS ?x) }')
+    assert [r["x"] for r in df3.collect()] == ["plain\r\n"]
+    # unknown escapes stay lenient: "\d" is a literal backslash-d
+    df4 = query(g, r'SELECT ?s WHERE { ?s <http://p/n> ?o . '
+                   r'FILTER(REGEX(?o, "^pla\\w+$")) }')
+    assert [r["s"] for r in df4.collect()] == ["http://x/c"]
+
+
+def test_encode_for_uri_unreserved_set(spark):
+    """SPARQL 17.4.3.15: RFC 3986 unreserved chars (ALPHA DIGIT - . _ ~)
+    are kept; everything else — including '*', which Java form-encoding
+    leaves bare — is percent-encoded; '~' — which Java encodes as %7E —
+    is kept."""
+    rows = [("http://x/a", "http://p/n", "a~b*c d-._", "literal",
+             None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, 'SELECT ?e WHERE { ?s <http://p/n> ?o . '
+                  'BIND(ENCODE_FOR_URI(?o) AS ?e) }')
+    assert [r["e"] for r in df.collect()] == ["a~b%2Ac%20d-._"]
+
+
 def test_numeric_boolean_object_constants(spark):
     rows = [("http://x/a", "http://p/age", "42", "literal",
              "http://www.w3.org/2001/XMLSchema#integer", None),

@@ -33,8 +33,9 @@ def fuzz_graph(spark):
         if rng.random() < 0.6:
             rows.add((s, p, rng.choice(nodes), "iri", None, None))
         else:
-            rows.add((s, p, rng.choice(["v1", "v2", "v3"]), "literal",
-                      None, None))
+            # control-char literals fuzz the ECHAR decode paths (rule 8)
+            rows.add((s, p, rng.choice(["v1", "v2", "v3", "a\nb", "t\tv"]),
+                      "literal", None, None))
     return spark.createDataFrame(sorted(rows), COLS).cache()
 
 
@@ -47,7 +48,7 @@ def _gen_query(rng):
     for k in range(n_pats):
         s = rng.choice(vars_[: k + 1])
         p = rng.choice(preds + ["?p"])
-        o = rng.choice(vars_ + nodes + ['"v1"'])
+        o = rng.choice(vars_ + nodes + ['"v1"', '"a\\nb"', '"t\\tv"'])
         pats.append(f"{s} {p} {o} .")
     used = sorted({t for pat in pats for t in pat.split()
                    if t.startswith("?")})

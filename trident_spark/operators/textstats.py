@@ -300,7 +300,7 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
     boiler = (
         paras.groupBy("para_hash")
         .agg(F.countDistinct("id").alias("n_docs"))
-        .where(F.col("n_docs") > cutoff)
+        .where(F.col("n_docs") >= cutoff)  # "at least min_docs" per docstring
         .select("para_hash")
     )
     kept = paras.join(boiler, "para_hash", "left_anti")

@@ -289,11 +289,24 @@ def _values_term(tok: str) -> str:
     return tok  # raw token; unquoted/expanded at compile time (needs prefixes)
 
 
+# SPARQL ECHAR set (grammar [160]): \t \b \n \r \f \" \' \\ .  Unknown
+# escapes (e.g. the technically-illegal-but-common "\d" in REGEX patterns)
+# are kept verbatim as backslash+char — lenient, matches round-trip tests.
+_ECHAR_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+              '"': '"', "'": "'", "\\": "\\"}
+
+
+def _decode_echars(body: str) -> str:
+    return re.sub(r"\\(.)",
+                  lambda m: _ECHAR_MAP.get(m.group(1), "\\" + m.group(1)),
+                  body)
+
+
 def _term_value(tok: str, prefixes: dict[str, str]) -> str:
     """IRI/literal/pname token → its lexical value."""
     if tok.startswith('"'):
         m = re.match(r'"((?:[^"\\]|\\.)*)"', tok)
-        return m.group(1).replace("\\\"", '"').replace("\\\\", "\\")
+        return _decode_echars(m.group(1))
     return _expand(tok, prefixes)
 
 
@@ -457,8 +470,13 @@ def _sql_str(tok: str) -> str:
     REGEX(?x, "\\\\d+") reaches Spark as the regex "d+" and literal
     comparisons against backslash-bearing strings silently miss."""
     body = re.match(r'"((?:[^"\\]|\\.)*)"', tok).group(1)
-    body = body.replace("\\\"", '"').replace("\\\\", "\\")
-    body = body.replace("\\", "\\\\")
+    body = _decode_echars(body)          # SPARQL-level ECHAR decode
+    body = body.replace("\\", "\\\\")    # re-escape for Spark's C-unescaping
+    # Control chars go back out as Spark escape sequences so the generated
+    # SQL text stays single-line and survives any downstream reparse.
+    for ch, esc in (("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
+                    ("\b", "\\b"), ("\f", "\\f")):
+        body = body.replace(ch, esc)
     return "'" + body.replace("'", "''") + "'"
 
 
@@ -537,8 +555,11 @@ def _expand_macro(name: str, args: list[list[str]],
             return f"regexp_like({sql[0]}, {sql[1]})"
         return f"regexp_like({sql[0]}, '(?{m.group(1)})' || {sql[1]})"
     if name == "ENCODE_FOR_URI" and len(sql) == 1:
-        # url_encode is form-encoding ('+' for space); SPARQL wants %20
-        return f"replace(url_encode({sql[0]}), '+', '%20')"
+        # url_encode is Java form-encoding: space→'+', '~'→%7E, '*' kept.
+        # SPARQL 17.4.3.15 wants RFC 3986 unreserved (ALPHA/DIGIT/-._~)
+        # kept and everything else — including '*' — percent-encoded.
+        return (f"replace(replace(replace(url_encode({sql[0]}), "
+                f"'+', '%20'), '%7E', '~'), '*', '%2A')")
     if name == "LANGMATCHES" and len(sql) == 2:
         tag, rng = sql
         return (f"(CASE WHEN {rng} = '*' THEN {tag} <> '' "
@@ -898,9 +919,8 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
             if term.startswith("?"):
                 rename[col] = term[1:]
             elif term.startswith('"'):
-                value = re.match(r'"((?:[^"\\]|\\.)*)"', term).group(1)
-                value = value.replace("\\\"", '"').replace("\\\\", "\\")
-                scan = scan.where(F.col(col) == value)
+                scan = scan.where(
+                    F.col(col) == _term_value(term, prefixes))
             else:
                 scan = scan.where(F.col(col) == _expand(term, prefixes))
         out_vars = set(rename.values())
@@ -920,10 +940,9 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
             rename[col] = term[1:]
         else:
             if col == "obj_lexical" and term.startswith('"'):
-                value = re.match(r'"((?:[^"\\]|\\.)*)"', term).group(1)
-                value = value.replace("\\\"", '"').replace("\\\\", "\\")
                 scan = scan.where(
-                    (F.col("obj_kind") == "literal") & (F.col(col) == value)
+                    (F.col("obj_kind") == "literal")
+                    & (F.col(col) == _term_value(term, prefixes))
                 )
                 continue
             if col == "obj_lexical" and _PLAIN_SCALAR.match(term):
@@ -1139,8 +1158,7 @@ def _run_pattern_scan(triples: DataFrame, pat: _Pattern,
             continue
         col = _LEX_COLS[slot]
         if slot == "obj" and term.startswith('"'):
-            value = re.match(r'"((?:[^"\\]|\\.)*)"', term).group(1)
-            value = value.replace("\\\"", '"').replace("\\\\", "\\")
+            value = _term_value(term, prefixes)  # full ECHAR decode
             scan = scan.where((F.col("obj_kind") == "literal")
                               & (F.col(col) == value))
         elif slot == "obj" and _PLAIN_SCALAR.match(term):
