@@ -2,19 +2,55 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical operators whose presence means the frame's partitioning is already
+# governed by spark.sql.shuffle.partitions / AQE — repartitioning on top of
+# them is at best redundant and at worst (via the old .rdd partition probe)
+# forced a second execution of every upstream query stage.
+_SHUFFLE_NODES = re.compile(
+    r"\b(Aggregate|Join|Sort|Window|Repartition(?:ByExpression)?|"
+    r"Deduplicate|Distinct|Except|Intersect|Rebalance)\b")
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition iff the plan has too few partitions for the cluster.
+    """Repartition iff the plan would otherwise run on too few tasks.
 
     Single-file parquet inputs (one row group) scan as ONE task; any
     Python-kernel stage downstream would run single-threaded.  The shuffle
     this inserts is tiny relative to the Arrow-hop work it parallelizes.
     Real multi-file corpora already have enough splits and skip the shuffle.
+
+    The decision is ANALYSIS-ONLY — no ``df.rdd`` probe.  With AQE enabled,
+    converting a shuffle-bearing DataFrame to an RDD compiles (and partly
+    executes) its query stages, so the old partition-count probe both
+    double-executed the upstream plan and read AQE's post-coalesce count
+    (often 1 for small data), triggering a pointless extra shuffle — the
+    round-3 kg_turtle_roundtrip/kg_rdfstar_reify bench regressions.
+
+    Decision table:
+
+    - plan contains a shuffle operator (aggregate/join/distinct/...) →
+      return as-is: shuffle.partitions / AQE already set the parallelism,
+      and at 100 TB those knobs — not a blanket ``repartition(32)`` — are
+      the right control.
+    - narrow plan over ≥ ``target`` input files → as-is (enough splits).
+    - otherwise (single-file scans, local relations, narrow chains over
+      checkpointed RDDs) → ``repartition(target)``: a narrow round-robin
+      shuffle of the rows about to cross the Arrow boundary anyway.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if _SHUFFLE_NODES.search(plan):
+        return df
+    # Driver-originated leaves are already sliced to defaultParallelism
+    # (parallelize/range) or carry their checkpointed partitioning
+    # (LogicalRDD) — a repartition would only add a shuffle.
+    if re.search(r"\b(LogicalRDD|LocalRelation|Range)\b", plan):
+        return df
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
