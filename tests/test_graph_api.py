@@ -51,6 +51,64 @@ def test_query_and_solutions(picasso_graph):
     assert sols[0]["artist"].is_iri()
 
 
+def test_solutions_never_collects(spark, monkeypatch):
+    """solutions() must not materialize the graph (or the result) on the
+    driver: kinds are recovered by a distributed term-dictionary join and
+    rows stream via toLocalIterator.  Rule-10: patch the CONCRETE
+    DataFrame class so the assertion sees every call."""
+    g = Graph.empty(spark)
+    rows = []
+    for i in range(200):
+        s = new_iri(f"http://x/s{i}")
+        rows.append(new_triple(s, new_iri("http://p/name"),
+                               new_literal(f"n{i}")))
+        rows.append(new_triple(s, new_iri("http://p/ref"),
+                               new_iri(f"http://x/s{(i + 1) % 200}")))
+        rows.append(new_triple(s, new_iri("http://p/tagged"),
+                               new_literal_with_lang("hallo", "de")))
+    g = g.add_all(rows)
+
+    df_cls = type(g.to_df())
+    calls = []
+
+    def counting_collect(self):
+        calls.append(1)
+        raise AssertionError("solutions() collected a DataFrame")
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    sols = list(g.solutions(
+        "SELECT ?s ?n ?t WHERE { ?s <http://p/name> ?n . "
+        "?s <http://p/tagged> ?t . }"))
+    assert not calls
+    assert len(sols) == 200
+    by_s = {d["s"].value(): d for d in sols}
+    assert by_s["http://x/s7"]["n"].value() == "n7"
+    assert by_s["http://x/s7"]["n"].is_literal()
+    assert by_s["http://x/s7"]["s"].is_iri()
+    assert by_s["http://x/s7"]["t"].lang == "de"
+
+
+def test_solutions_kind_priority_and_expression_values(spark):
+    """A lexical form seen as both IRI and literal resolves to IRI
+    (iri > blank > literal); expression-produced values not in the graph
+    default to plain literals."""
+    g = Graph.empty(spark)
+    shared = "http://x/ambiguous"
+    g = g.add_all([
+        new_triple(new_iri("http://x/a"), new_iri("http://p/lit"),
+                   new_literal(shared)),
+        new_triple(new_iri(shared), new_iri("http://p/name"),
+                   new_literal("A")),
+    ])
+    sols = list(g.solutions(
+        "SELECT ?o ?u WHERE { ?s <http://p/lit> ?o . "
+        'BIND(CONCAT(?o, "-new") AS ?u) }'))
+    assert len(sols) == 1
+    assert sols[0]["o"].is_iri()        # iri beats the literal sighting
+    assert sols[0]["u"].is_literal()    # computed value → plain literal
+    assert sols[0]["u"].value() == shared + "-new"
+
+
 def test_serialize_roundtrip(spark, picasso_graph):
     ttl = picasso_graph.serialize("turtle")
     back = Graph.parse(spark, ttl, "turtle")

@@ -180,7 +180,9 @@ class Graph:
         return self._distinct().count()
 
     def triples(self) -> Iterator[Triple]:
-        for r in self._distinct().collect():
+        """Iterate triples without materializing the graph on the driver
+        (toLocalIterator streams one partition at a time)."""
+        for r in self._distinct().toLocalIterator():
             yield Triple(
                 Term(r["subj"],
                      "blank" if r["subj"].startswith("_:") else "iri"),
@@ -195,28 +197,68 @@ class Graph:
         from trident_spark.query.sparql import query
         return query(self._distinct(), sparql)
 
+    def _term_dictionary(self) -> DataFrame:
+        """Distinct (lexical → kind, datatype, lang) over every term
+        position.  Ambiguous lexical forms resolve iri > blank > literal
+        (rank-min, deterministic tiebreak on the full struct)."""
+        from pyspark.sql import functions as F
+
+        df = self._distinct()
+        subj_kind = F.when(F.col("subj").startswith("_:"),
+                           F.lit("blank")).otherwise(F.lit("iri"))
+        null_s = F.lit(None).cast("string")
+        terms = (
+            df.select(F.col("subj").alias("lexical"),
+                      subj_kind.alias("kind"),
+                      null_s.alias("datatype"), null_s.alias("lang"))
+            .unionByName(df.select(
+                F.col("pred").alias("lexical"), F.lit("iri").alias("kind"),
+                null_s.alias("datatype"), null_s.alias("lang")))
+            .unionByName(df.select(
+                F.col("obj_lexical").alias("lexical"),
+                F.col("obj_kind").alias("kind"),
+                F.col("obj_datatype").alias("datatype"),
+                F.col("obj_lang").alias("lang")))
+        )
+        rank = (F.when(F.col("kind") == "iri", 0)
+                .when(F.col("kind") == "blank", 1).otherwise(2))
+        return (
+            terms.groupBy("lexical")
+            .agg(F.min(F.struct(rank.alias("_r"), "kind", "datatype",
+                                "lang")).alias("t"))
+            .select("lexical", "t.kind", "t.datatype", "t.lang")
+        )
+
     def solutions(self, sparql: str) -> Iterator[dict[str, Term]]:
         """The reference's results iteration: one {var: Term} mapping per
-        solution.  Terms recover kind/lang/datatype by joining the graph's
-        term dictionary on the lexical form (iri beats literal for
-        ambiguous forms — collect-side convenience only; keep the
-        DataFrame for exact-kind workloads)."""
-        kinds: dict[str, tuple] = {}
-        for r in self._distinct().collect():
-            kinds.setdefault(
-                r["obj_lexical"],
-                (r["obj_kind"], r["obj_datatype"], r["obj_lang"]))
-            kinds[r["subj"]] = (
-                "blank" if r["subj"].startswith("_:") else "iri", None, None)
-            kinds[r["pred"]] = ("iri", None, None)
-        for row in self.query(sparql).collect():
+        solution.  Term kinds/lang/datatypes are recovered DISTRIBUTEDLY —
+        each projected column left-joins the graph's term dictionary on
+        the lexical form (iri beats literal for ambiguous forms; values
+        produced by expressions default to plain literals) — and rows
+        stream through ``toLocalIterator``, so neither the graph nor the
+        full result set is ever materialized on the driver."""
+        from pyspark.sql import functions as F
+
+        sol = self.query(sparql)
+        out_cols = sol.columns
+        dic = self._term_dictionary()
+        for var in out_cols:
+            d = dic.select(
+                F.col("lexical").alias(f"_lex_{var}"),
+                F.col("kind").alias(f"_kind_{var}"),
+                F.col("datatype").alias(f"_dt_{var}"),
+                F.col("lang").alias(f"_lang_{var}"))
+            sol = sol.join(
+                d, sol[var].cast("string") == d[f"_lex_{var}"], "left")
+        for row in sol.toLocalIterator():
             out = {}
-            for var in row.__fields__:
+            for var in out_cols:
                 v = row[var]
                 if v is None:
                     continue
-                kind, dt, lang = kinds.get(str(v), ("literal", None, None))
-                out[var] = Term(str(v), kind, dt, lang)
+                kind = row[f"_kind_{var}"] or "literal"
+                out[var] = Term(str(v), kind, row[f"_dt_{var}"],
+                                row[f"_lang_{var}"])
             yield out
 
     def ask(self, sparql: str) -> bool:
