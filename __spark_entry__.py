@@ -1088,6 +1088,44 @@ def q_kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_kg_quads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union suite of the two named-graph round-trips (window
+    consolidation, r4): the same per-document quads serialized+parsed
+    via N-Quads lines and via TriG `<g> { block }` chunks; each leg keeps
+    its standalone mirror in extra_queries()."""
+    nq = q_kg_nquads_roundtrip(spark, sf_dir) \
+        .withColumn("suite", F.lit("nquads"))
+    tg = q_kg_trig_roundtrip(spark, sf_dir) \
+        .withColumn("suite", F.lit("trig"))
+    return nq.unionByName(tg)
+
+
+_KG_QUADS_ROUNDTRIP_ORACLE = f"""
+WITH rt AS ({_KG_NQUADS_ORACLE})
+SELECT subj, pred, obj_lexical, obj_kind, obj_datatype, graph,
+       'nquads' AS suite FROM rt
+UNION ALL
+SELECT subj, pred, obj_lexical, obj_kind, obj_datatype, graph,
+       'trig' AS suite FROM rt
+"""
+
+
+def q_kg_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF/XML (the dominant legacy dump format): serialize the doc KG as
+    one self-contained single-line document per subject, parse back with
+    the strict RDF/XML reader, return distinct triples — the oracle is
+    the independent SQL reconstruction, so a divergence in XML escaping,
+    QName splitting, or the parser goes red."""
+    from trident_spark.pipeline.rdfxml import from_rdfxml, to_rdfxml
+
+    triples = _distinct_triples(spark, sf_dir)
+    parsed = from_rdfxml(to_rdfxml(triples))
+    return parsed.select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    ).distinct()
+
+
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted text must round-trip byte-identically per url."""
     from trident_spark.pipeline import extract_stage
@@ -2098,9 +2136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_update_graph": q_kg_sparql_update_graph,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
-        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
-        "kg_trig_roundtrip": q_kg_trig_roundtrip,
+        "kg_quads_roundtrip": q_kg_quads_roundtrip,
         "kg_jsonld_roundtrip": q_kg_jsonld_roundtrip,
+        "kg_rdfxml_roundtrip": q_kg_rdfxml_roundtrip,
         "kg_text_invariant": q_kg_text_invariant,
         "kg_top_hubs": q_kg_top_hubs,
         "kg_triple_diff": q_kg_triple_diff,
@@ -2141,6 +2179,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langtag_reject_invalid": q_langtag_reject_invalid,
         "langtag_extlang_form": q_langtag_extlang_form,
         "kg_bgp_provider": q_kg_bgp_provider,
+        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
+        "kg_trig_roundtrip": q_kg_trig_roundtrip,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_bind": q_kg_sparql_bind,
@@ -2228,9 +2268,9 @@ def oracle_sql() -> dict[str, str]:
             + _values_sql(_EXTRA_TTL_ROWS,
                           ("subj", "pred", "obj_lexical", "obj_kind",
                            "obj_datatype"))),
-        "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
-        "kg_trig_roundtrip": _KG_NQUADS_ORACLE,
+        "kg_quads_roundtrip": _KG_QUADS_ROUNDTRIP_ORACLE,
         "kg_jsonld_roundtrip": _KG_TRIPLES_ORACLE,
+        "kg_rdfxml_roundtrip": _KG_TRIPLES_ORACLE,
         "kg_text_invariant": _KG_TEXT_INVARIANT_ORACLE,
         "kg_top_hubs": _KG_TOP_HUBS_ORACLE,
         "kg_triple_diff": _KG_TRIPLE_DIFF_ORACLE,
@@ -2271,6 +2311,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "langtag_reject_invalid": _reject_oracle_langtag(),
         "langtag_extlang_form": _extlang_oracle(),
         "kg_bgp_provider": _KG_BGP_ORACLE,
+        "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
+        "kg_trig_roundtrip": _KG_NQUADS_ORACLE,
         "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
         "kg_sparql_having": _KG_SPARQL_HAVING_ORACLE,
         "kg_sparql_bind": _KG_SPARQL_BIND_ORACLE,

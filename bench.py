@@ -153,6 +153,7 @@ def run_headline(spark) -> dict[str, float]:
         "kg_jsonld_roundtrip",
         "kg_turtle_roundtrip",
         "kg_nquads_roundtrip",
+        "kg_rdfxml_roundtrip",
         "kg_rdfstar_reify",
         "kg_sparql_subquery",
         "dedup_exact",

@@ -48,7 +48,7 @@ def main() -> None:
                     help="iceberg requires --catalog and the Iceberg "
                          "runtime jar on the cluster classpath")
     ap.add_argument("--export", action="append", default=[],
-                    choices=("nquads", "turtle", "trig", "jsonld"),
+                    choices=("nquads", "turtle", "trig", "jsonld", "rdfxml"),
                     help="also write the KG in this RDF text format "
                          "(repeatable; N-Triples is always written)")
     ap.add_argument("--catalog", help="Iceberg catalog name (see "
@@ -112,6 +112,11 @@ def main() -> None:
             elif fmt == "trig":
                 frame = sinks.to_trig(quads, prefixes={}) \
                     .withColumnRenamed("chunk", "line")
+            elif fmt == "rdfxml":
+                # single-line documents (LF escaped as &#10;): each output
+                # line is one complete standalone RDF/XML document
+                from trident_spark.pipeline.rdfxml import to_rdfxml
+                frame = to_rdfxml(skol).withColumnRenamed("doc", "line")
             else:
                 frame = to_jsonld(skol).withColumnRenamed("doc", "line")
             frame.write.mode(mode).text(f"{out}/{fmt}")

@@ -103,6 +103,36 @@ def test_trig_roundtrip_hostile(spark, hostile_quads):
     assert _setof(back) == _setof(hostile_quads)
 
 
+def test_rdfxml_roundtrip_hostile(spark, hostile_triples):
+    """RDF/XML with hostile term content.  The format itself cannot name
+    property elements whose IRI lacks an XML-NCName tail (a documented
+    RDF/XML limitation — rdflib/Jena raise too), so preds are remapped to
+    QName-compatible forms; everything else stays hostile."""
+    from trident_spark.pipeline.rdfxml import from_rdfxml, to_rdfxml
+
+    fixed = hostile_triples.withColumn(
+        "pred", F.concat(F.col("pred"), F.lit("x")))
+    back = from_rdfxml(to_rdfxml(fixed))
+    assert _setof(back) == _setof(fixed)
+
+
+def test_rdfxml_unserializable_pred_is_loud(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from trident_spark.pipeline.rdfxml import to_rdfxml
+
+    df = spark.createDataFrame(
+        [("http://x/a", "http://fuzz.example/p/0", "v", "literal",
+          None, None)],
+        "subj string, pred string, obj_lexical string, obj_kind string, "
+        "obj_datatype string, obj_lang string")
+    with pytest.raises((PythonException, Py4JJavaError),
+                       match="local part"):
+        to_rdfxml(df).write.format("noop").mode("overwrite").save()
+
+
 def test_jsonld_roundtrip_hostile(spark, hostile_triples):
     from trident_spark.pipeline.jsonld import from_jsonld, to_jsonld
 

@@ -150,6 +150,9 @@ class Graph:
         if fmt == "jsonld":
             from trident_spark.pipeline.jsonld import from_jsonld
             return cls(from_jsonld(docs))
+        if fmt == "rdfxml":
+            from trident_spark.pipeline.rdfxml import from_rdfxml
+            return cls(from_rdfxml(docs))
         raise ValueError(f"unknown format {fmt!r}")
 
     # -- mutation (immutable: returns a new Graph) --------------------------
@@ -297,4 +300,8 @@ class Graph:
             from trident_spark.pipeline.jsonld import to_jsonld
             docs = to_jsonld(df).collect()
             return "[" + ",\n".join(sorted(r["doc"] for r in docs)) + "]"
+        if fmt == "rdfxml":
+            from trident_spark.pipeline.rdfxml import to_rdfxml
+            docs = to_rdfxml(df).collect()
+            return "\n".join(sorted(r["doc"] for r in docs))
         raise ValueError(f"unknown format {fmt!r}")

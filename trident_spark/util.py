@@ -4,7 +4,31 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+
+def subject_chunk_key(df: DataFrame, keys: list[str], chunk_size: int,
+                      hash_cols: list[str]) -> DataFrame:
+    """Add a ``_chunk`` column splitting each ``keys``-group into
+    ``ceil(n / chunk_size)`` hash-assigned chunks.
+
+    The serializers group by subject (Turtle ``;`` blocks, RDF/XML
+    ``rdf:Description``), so a hub subject with 10^7 triples would
+    otherwise build one giant array + string in ONE task at scale.
+    Grouping by (subject, _chunk) instead emits several blocks per hub —
+    legal in every supported syntax (repeated blocks about one subject
+    merge) — bounding per-task state at ``chunk_size`` rows.
+
+    One extra shuffle (the window count over ``keys``) beyond the group
+    agg itself; normal subjects (n ≤ chunk_size) land in a single chunk,
+    so output is unchanged wherever chunking doesn't trigger."""
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    n_chunks = F.greatest(F.lit(1), F.ceil(n / F.lit(chunk_size)))
+    h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                     for c in hash_cols])
+    return df.withColumn("_chunk", F.pmod(h, n_chunks))
 
 # Logical operators whose presence means the frame's partitioning is already
 # governed by spark.sql.shuffle.partitions / AQE — repartitioning on top of
