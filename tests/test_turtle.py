@@ -496,3 +496,39 @@ def test_multiple_annotation_blocks():
         '{| <http://b/> 2 |} .')
     reifiers = [t[0] for t in got if t[1] == rdf + "reifies"]
     assert len(reifiers) == 2 and reifiers[0] != reifiers[1]
+
+
+def test_hub_subject_chunks_into_multiple_blocks(spark):
+    """A 100k-triple single subject must serialize to >1 Turtle block
+    (bounded per-task state) and re-parse to the identical triple set —
+    repeated subject blocks merge, so chunking is semantics-preserving.
+    Same check for TriG with the hub inside one named graph."""
+    from pyspark.sql import functions as F
+
+    from trident_spark.pipeline.sinks import to_trig, to_turtle, turtle_header
+    from trident_spark.pipeline.turtle import from_trig, from_turtle
+
+    df = spark.range(100000).select(
+        F.lit("http://x/hub").alias("subj"),
+        F.lit("https://schema.org/tag").alias("pred"),
+        F.concat(F.lit("v"), F.col("id")).alias("obj_lexical"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    blocks = to_turtle(df, prefixes={})
+    assert blocks.count() > 1
+    docs = blocks.select(F.concat(F.lit(turtle_header({}) + "\n"),
+                                  F.col("block")).alias("doc"))
+    back = from_turtle(docs)
+    assert back.count() == 100000
+    assert back.distinct().count() == 100000
+    assert back.where(F.col("subj") != "http://x/hub").count() == 0
+
+    quads = df.withColumn("graph", F.lit("http://g/1"))
+    chunks = to_trig(quads, prefixes={})
+    assert chunks.count() > 1
+    tdocs = chunks.select(F.concat(F.lit(turtle_header({}) + "\n"),
+                                   F.col("chunk")).alias("doc"))
+    tback = from_trig(tdocs)
+    assert tback.distinct().count() == 100000
+    assert tback.where(F.col("graph") != "http://g/1").count() == 0

@@ -172,9 +172,16 @@ def to_turtle(skolemized: DataFrame,
 
 
 def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
-                    with_graph: bool) -> DataFrame:
+                    with_graph: bool,
+                    chunk_size: int = 10000) -> DataFrame:
     """Shared Turtle/TriG renderer: (graph?,) subj → one ``block`` per
-    subject (per graph when ``with_graph``), all in whole-stage codegen."""
+    subject (per graph when ``with_graph``), all in whole-stage codegen.
+
+    Hub subjects with more than ``chunk_size`` triples split into several
+    blocks (``util.subject_chunk_key`` secondary key) — Turtle/TriG-legal
+    (repeated subject blocks merge) and it bounds per-task array+string
+    state, where one 10^7-triple hub would otherwise build a single giant
+    block in ONE task at corpus scale."""
 
     def compact(col):
         out = F.concat(F.lit("<"), col, F.lit(">"))
@@ -200,6 +207,8 @@ def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
     po = F.concat(compact(F.col("pred")), F.lit(" "), rendered_obj)
     subj_r = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
         .otherwise(compact(F.col("subj")))
+    from trident_spark.util import subject_chunk_key
+
     keys = ["graph", "subj"] if with_graph else ["subj"]
     sel = ([F.col("graph")] if with_graph else []) + \
         [F.col("subj"), po.alias("po")]
@@ -207,9 +216,10 @@ def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
         subj_r, F.lit(" "),
         F.concat_ws(" ;\n    ", F.col("pos")), F.lit(" ."),
     ).alias("block")
+    chunked = subject_chunk_key(frame.select(*sel), keys, chunk_size,
+                                hash_cols=["po"])
     out = (
-        frame.select(*sel)
-        .groupBy(*keys)
+        chunked.groupBy(*keys, "_chunk")
         .agg(F.array_sort(F.collect_set("po")).alias("pos"))
     )
     if with_graph:
