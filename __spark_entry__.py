@@ -597,16 +597,22 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_sparql_minus_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES (inline data) narrows the type, MINUS (anti join) drops every
-    subject that has a schema:name — i.e. the docs (orgs are named)."""
+    subject that has a schema:name — i.e. the docs (orgs are named).
+    The data block carries UNDEF in both positions (SPARQL 1.1 §10.2):
+    an UNDEF ?m rides along unbound, and an UNDEF ?t row is compatible
+    with every type binding — so each doc solves twice, once with ?m
+    unbound and once with ?m = "anytype"."""
     from trident_spark.query.sparql import query
 
     return query(
         _doc_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
-        SELECT DISTINCT ?s WHERE {
+        SELECT DISTINCT ?s ?m WHERE {
             ?s a ?t .
-            VALUES ?t { schema:TextDigitalDocument schema:Organization }
+            VALUES (?t ?m) { (schema:TextDigitalDocument UNDEF)
+                             (UNDEF "anytype")
+                             (schema:Organization "org") }
             MINUS { ?s schema:name ?n }
         }
         """,
@@ -614,7 +620,12 @@ def q_kg_sparql_minus_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KG_SPARQL_MINUS_VALUES_ORACLE = f"""
-SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS s FROM documents
+SELECT DISTINCT s, m FROM (
+  SELECT '{DOC_BASE}/doc/' || doc_id AS s, CAST(NULL AS VARCHAR) AS m
+  FROM documents
+  UNION ALL
+  SELECT '{DOC_BASE}/doc/' || doc_id, 'anytype' FROM documents
+) t
 """
 
 

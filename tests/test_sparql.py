@@ -513,11 +513,19 @@ def test_values_first_element(spark, people):
     assert sorted(r["name"] for r in df.collect()) == ["Alice", "Carol"]
 
 
-def test_values_undef_rejected(spark, people):
-    with pytest.raises(SparqlError, match="UNDEF"):
-        query(people, """
-            SELECT ?x WHERE { VALUES ?x { UNDEF "a" } ?x ?p ?o }
-        """)
+def test_values_undef_wildcard_row(spark, people):
+    """(r4: UNDEF is now supported per §10.2 — the old loud rejection is
+    gone.)  An UNDEF row is a wildcard: here the bound row "Acme" matches
+    one name while UNDEF matches every name."""
+    df = query(people, """
+        PREFIX schema: <https://schema.org/>
+        SELECT DISTINCT ?n WHERE {
+            ?s schema:name ?n .
+            VALUES ?n { UNDEF "Acme" }
+        }
+    """)
+    assert {r["n"] for r in df.collect()} == \
+        {"Alice", "Bob", "Carol", "Acme", "Globex"}
 
 
 def test_minus_removes_compatible_solutions(spark, people):
@@ -1537,6 +1545,53 @@ def test_regex_with_backslash_class(spark):
     assert [r["s"] for r in df.collect()] == ["http://x/a"]
     df2 = query(g, r'SELECT ?s WHERE { ?s <http://p/n> ?o . FILTER(?o = "a\\b") }')
     assert [r["s"] for r in df2.collect()] == ["http://x/c"]
+
+
+def test_values_undef_compatibility(spark):
+    """SPARQL 1.1 §10.2: an UNDEF cell is compatible with any binding of
+    that variable; bound cells must match.  Covers UNDEF in a shared var,
+    UNDEF in a values-only var, and a VALUES block opening the group."""
+    rows = [
+        ("http://x/a", "http://p/t", "http://T/1", "iri", None, None),
+        ("http://x/b", "http://p/t", "http://T/2", "iri", None, None),
+        ("http://x/c", "http://p/t", "http://T/3", "iri", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    # UNDEF in the SHARED var ?t matches every subject; the bound row
+    # only matches T/1.  ?m rides along (NULL when UNDEF).
+    df = query(g, """
+        SELECT ?s ?m WHERE {
+            ?s <http://p/t> ?t .
+            VALUES (?t ?m) { (<http://T/1> "one") (UNDEF "wild") }
+        }
+    """)
+    got = {(r["s"], r["m"]) for r in df.collect()}
+    assert got == {
+        ("http://x/a", "one"),
+        ("http://x/a", "wild"), ("http://x/b", "wild"),
+        ("http://x/c", "wild"),
+    }
+    # UNDEF in a values-only var → the variable stays unbound (NULL)
+    df2 = query(g, """
+        SELECT ?s ?m WHERE {
+            ?s <http://p/t> <http://T/2> .
+            VALUES ?m { UNDEF }
+        }
+    """)
+    assert [(r["s"], r["m"]) for r in df2.collect()] == [("http://x/b", None)]
+    # VALUES with UNDEF opening the group joins at group end (inner join
+    # commutes), not silently dropped
+    df3 = query(g, """
+        SELECT ?s ?t WHERE {
+            VALUES (?t) { (UNDEF) (<http://T/3>) }
+            ?s <http://p/t> ?t .
+        }
+    """)
+    got3 = {(r["s"], r["t"]) for r in df3.collect()}
+    assert got3 == {
+        ("http://x/a", "http://T/1"), ("http://x/b", "http://T/2"),
+        ("http://x/c", "http://T/3"),
+    }
 
 
 def test_echar_control_char_literals(spark):

@@ -281,11 +281,9 @@ def _parse_values(toks: list[str], i: int) -> tuple[tuple, int]:
     return ("values", vars_, rows), i + 1
 
 
-def _values_term(tok: str) -> str:
+def _values_term(tok: str) -> str | None:
     if tok.upper() == "UNDEF":
-        # UNDEF is a compatibility wildcard; SQL null join keys never match,
-        # so supporting it silently would drop solutions.  Refuse loudly.
-        raise SparqlError("VALUES UNDEF is not supported")
+        return None  # unbound cell → NULL; compat-joined per SPARQL §10.2
     return tok  # raw token; unquoted/expanded at compile time (needs prefixes)
 
 
@@ -983,6 +981,35 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
     return scan, out_vars
 
 
+def _values_compat_join(plan: DataFrame, bound: set[str], scan: DataFrame,
+                        vars_: set[str]) -> tuple[DataFrame, set[str]]:
+    """Join a VALUES block containing UNDEF cells per SPARQL 1.1 §10.2
+    solution compatibility: an UNDEF (NULL) cell is compatible with any
+    binding; a bound cell must equal the other side's binding unless that
+    side is itself unbound.  Shared columns merge via COALESCE.
+
+    The condition is a theta join, but the VALUES side is an inline
+    literal list (driver-local, tiny) — Spark broadcasts it, so this is
+    scale-safe by construction."""
+    ren = {v: f"_val_{v}" for v in sorted(vars_)}
+    scan2 = scan.select([F.col(v).alias(a) for v, a in ren.items()])
+    shared = sorted(bound & vars_)
+    if shared:
+        cond = None
+        for v in shared:
+            c = (F.col(ren[v]).isNull() | F.col(v).isNull()
+                 | (F.col(v) == F.col(ren[v])))
+            cond = c if cond is None else cond & c
+        plan = plan.join(F.broadcast(scan2), cond, "inner")
+    else:
+        plan = plan.crossJoin(F.broadcast(scan2))
+    for v in sorted(vars_):
+        plan = plan.withColumn(
+            v, F.coalesce(F.col(v), F.col(ren[v])) if v in bound
+            else F.col(ren[v]))
+    return plan.drop(*ren.values()), bound | set(vars_)
+
+
 def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
           vars_: set[str], how: str) -> tuple[DataFrame, set[str]]:
     keys = sorted(bound & vars_)
@@ -1268,6 +1295,11 @@ def _compile_group(triples: DataFrame, group: _Group,
             elements.append(el)
     _flush()
 
+    # VALUES blocks with UNDEF cells need the compatibility join, which
+    # requires a left side; when one opens the group it is deferred (the
+    # SPARQL algebra joins VALUES into the group — inner join, commutative)
+    pending_values: list[tuple[DataFrame, set[str]]] = []
+
     for idx, el in enumerate(elements):
         if isinstance(el, tuple) and el and el[0] == "bgp_run":
             if needed is None:
@@ -1356,10 +1388,18 @@ def _compile_group(triples: DataFrame, group: _Group,
             continue
         elif el[0] == "values":
             vars_, rows = el[1], el[2]
-            data = [tuple(_term_value(t, prefixes) for t in row)
+            data = [tuple(None if t is None else _term_value(t, prefixes)
+                          for t in row)
                     for row in rows]
             scan = triples.sparkSession.createDataFrame(
                 data, ", ".join(f"`{v}` string" for v in vars_))
+            if any(cell is None for row in data for cell in row):
+                if plan is None:
+                    pending_values.append((scan, set(vars_)))
+                else:
+                    plan, bound = _values_compat_join(
+                        plan, bound, scan, set(vars_))
+                continue
             vars_, how = set(vars_), "inner"
         elif el[0] == "subselect":
             scan, out_cols = _compile_select(triples, el[1], prefixes, quads)
@@ -1397,6 +1437,11 @@ def _compile_group(triples: DataFrame, group: _Group,
             plan, bound = scan, vars_
         else:
             plan, bound = _join(plan, bound, scan, vars_, how)
+    for vscan, vvars in pending_values:
+        if plan is None:
+            plan, bound = vscan, set(vvars)  # group is just the VALUES rows
+        else:
+            plan, bound = _values_compat_join(plan, bound, vscan, vvars)
     if plan is None:
         raise SparqlError("empty group pattern")
     # metadata filters on vars bound in SUBJECT/PREDICATE position: kind
