@@ -961,9 +961,13 @@ def q_kg_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH patterns over a quads dataset (graph = capture url): bind the
-    graph term, scope a 2-pattern BGP to it, count triples per graph —
+    graph term, scope to it a property-path closure inside a NESTED group
+    (r4: per-graph path relations thread through nested scope
+    compilation) joined with a plain pattern, count per graph —
     exercises dataset semantics (top-level patterns would see only the
-    default graph) + per-graph join + aggregate."""
+    default graph) + per-graph closure + join + aggregate.  provider+
+    closes in one hop here (orgs have no provider), so the SQL oracle
+    stays the direct reconstruction."""
     from trident_spark.query.sparql import query
 
     quads = _doc_quads(spark, sf_dir)
@@ -972,7 +976,7 @@ def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT ?g ?lang (COUNT(?s) AS ?n) WHERE {{
             GRAPH ?g {{
-                ?s <{SCHEMA}provider> ?org .
+                {{ ?s <{SCHEMA}provider>+ ?org . }}
                 ?s <{SCHEMA}inLanguage> ?lang .
             }}
         }} GROUP BY ?g ?lang

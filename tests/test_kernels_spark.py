@@ -98,3 +98,36 @@ def test_udfs_tolerate_all_null_batches(spark):
     rows = df.select(iri_parse("iri").alias("p"),
                      iri_normalize("iri").alias("n")).collect()
     assert all(r["p"]["iri"] is None and r["n"]["value"] is None for r in rows)
+
+
+def test_iri_json_wire_roundtrip(spark):
+    """A23 JSON wire form (ref iri/iri.go:385-403): an IRI marshals as a
+    plain JSON string; unmarshalling decodes the string and re-validates
+    with ParseRef (no NFC) — invalid IRIs error at unmarshal time.
+    Spark-side: to_json/from_json carry the string, iri_parse is the
+    validating decode."""
+    rows = [("http://a.example/p?q#f",), ("rel/./path",),
+            ("http://exa mple.com/",)]  # space → invalid on unmarshal
+    df = spark.createDataFrame(rows, "iri string")
+    wire = df.select(
+        "iri",
+        F.to_json(F.struct(F.col("iri").alias("v"))).alias("wire"))
+    # marshal: the wire form is the JSON string of the lexical IRI
+    w = {r["iri"]: r["wire"] for r in wire.collect()}
+    assert w["http://a.example/p?q#f"] == '{"v":"http://a.example/p?q#f"}'
+    # unmarshal: decode + validating parse
+    back = wire.select(
+        "iri",
+        F.from_json("wire", "v string")["v"].alias("decoded"),
+    ).select("iri", "decoded", iri_parse("decoded").alias("p"))
+    got = {r["iri"]: r for r in back.collect()}
+    ok = got["http://a.example/p?q#f"]
+    assert ok["decoded"] == ok["iri"] and ok["p"]["error"] is None
+    assert ok["p"]["iri"] == "http://a.example/p?q#f"
+    # relative refs are valid Refs (ParseRef, not ParseIri)
+    rel = got["rel/./path"]
+    assert rel["p"]["error"] is None and rel["p"]["is_absolute"] is False
+    # invalid-on-unmarshal: decode succeeds, validation errors
+    bad = got["http://exa mple.com/"]
+    assert bad["decoded"] == "http://exa mple.com/"
+    assert bad["p"]["error"] is not None and bad["p"]["iri"] is None

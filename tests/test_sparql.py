@@ -1547,6 +1547,35 @@ def test_regex_with_backslash_class(spark):
     assert [r["s"] for r in df2.collect()] == ["http://x/c"]
 
 
+def test_path_inside_nested_graph_group(spark):
+    """A property-path closure inside a nested group of a GRAPH ?var
+    scope stays per-graph: the g1 chain a->b->c closes within g1 only,
+    and g2's single edge never mixes in (r3 verdict item 8)."""
+    rows = [
+        ("http://x/a", "http://p/n", "http://x/b", "iri", None, None,
+         "http://g/1"),
+        ("http://x/b", "http://p/n", "http://x/c", "iri", None, None,
+         "http://g/1"),
+        ("http://x/a", "http://p/n", "http://x/z", "iri", None, None,
+         "http://g/2"),
+    ]
+    g = spark.createDataFrame(rows, COLS + ", graph string")
+    df = query(g, "SELECT ?g ?s ?o WHERE { GRAPH ?g { "
+                  "{ ?s <http://p/n>+ ?o } } }")
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("http://g/1", "http://x/a", "http://x/b"),
+        ("http://g/1", "http://x/a", "http://x/c"),
+        ("http://g/1", "http://x/b", "http://x/c"),
+        ("http://g/2", "http://x/a", "http://x/z"),
+    ]
+    # mixed: nested-group path joined with a plain pattern in the scope
+    df2 = query(g, """SELECT ?g ?s ?o WHERE { GRAPH ?g {
+        { ?s <http://p/n>+ ?o }
+        ?s <http://p/n> ?direct .
+    } }""")
+    assert df2.count() == 4  # every path start has a direct edge here
+
+
 def test_values_undef_compatibility(spark):
     """SPARQL 1.1 §10.2: an UNDEF cell is compatible with any binding of
     that variable; bound cells must match.  Covers UNDEF in a shared var,
