@@ -661,3 +661,21 @@ def test_repetition_signals(spark):
     assert out[2]["dup_line_fraction"] == 0.5  # 4 lines, 2 distinct
     assert out[3]["top_bigram_fraction"] == 1.0  # 'spam spam' everywhere
     assert out[4]["dup_line_fraction"] == 0.0  # empty doc is all-zero
+
+
+def test_minhash_lsh_hub_bucket_bounded(spark):
+    """A planted 10k-duplicate cluster must complete with O(m) candidate
+    pairs (anchor star), not m²: every clone still pairs (verified at
+    jaccard 1.0) and stays connected through the shared anchor, while
+    unrelated docs pair with nothing."""
+    clones = [(i, "the same boilerplate page text repeated here") for i in range(10000)]
+    distinct = [(10000 + i, f"totally unique document number {i} with words {i * 7}")
+                for i in range(5)]
+    df = spark.createDataFrame(clones + distinct, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, n_hashes=16, bands=4, shingle=3, threshold=0.5,
+        max_bucket=100).collect()
+    # star topology: anchor 0 paired with each of the other 9999 clones
+    assert len(pairs) == 9999
+    assert all(r["a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
+    assert {r["b"] for r in pairs} == set(range(1, 10000))
