@@ -11,10 +11,10 @@
   JSON-LD round-trips, dedup/clustering/sampling/similarity/text ops,
   streaming sessionization, relational and window queries.  Exactly 50
   entries — the driver verifies at most the first 50, so every registered
-  query gets a hard CORRECTNESS row.  Three remain rows-only with
+  query gets a hard CORRECTNESS row.  Two remain rows-only with
   documented reasons (lang_id: corpus labels independent of text;
-  similarity_ann_ivf / embedding_near_dup_lsh: recall targets on an
-  unclustered corpus) and carry pytest recall/behavior gates instead.
+  embedding_near_dup_lsh: lossy across hyperplane boundaries) and carry
+  pytest recall/behavior gates instead.
 - ``extra_queries()``/``extra_oracle_sql()`` — test-only mirrors outside
   the window (consolidated singles, deliberately-quadratic verify twins of
   the LSH scale paths), oracle-checked by the local bit-faithful mirror.
@@ -1494,11 +1494,61 @@ LIMIT {k}
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (r4: now SQL-mirror-oracled like similarity_ann_lsh).
+    The codebook is deterministic given the data — md5(id)-ordered
+    sample + seeded numpy k-means — so the oracle re-trains the identical
+    codebook from the same parquet and mirrors cell assignment, probe
+    selection, and exact rescore in DuckDB."""
     from trident_spark.operators.similarity import ivf_topk
 
     q = _query_vector(spark, sf_dir)
     return ivf_topk(_read(spark, sf_dir, "embeddings"), q, k=10,
                     n_cells=16, n_probe=4).select("vec_id")
+
+
+def _ann_ivf_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10,
+                    seed: int = 13,
+                    sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB mirror of ivf_topk: the codebook is RE-TRAINED here from
+    the same parquet with the identical pure-numpy k-means over the same
+    md5(id)-ordered sample, then embedded as literals; cell assignment
+    (argmax dot, lowest index on ties), probe selection and exact cosine
+    rescore are SQL — the oracle checks the ANN semantics themselves.
+    The driver evaluates oracles at sf0.01 (pinned path, like the
+    conformance-vector oracles carry their inputs)."""
+    import duckdb
+
+    from trident_spark.operators.similarity import kmeans_codebook
+
+    sample = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4096"
+    ).fetchall()
+    cents = kmeans_codebook([row[0] for row in sample], n_cells, seed=seed)
+    cent_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(v)) for v in row) + "])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(i, c) AS (VALUES {cent_rows}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+probe AS (
+  SELECT i FROM cents, q
+  ORDER BY list_dot_product(c, qv) DESC, i LIMIT {n_probe}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.i,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(c.c, e.embedding) DESC,
+                                     c.i) AS rn
+  FROM embeddings e, cents c
+),
+assigned AS (SELECT vec_id, embedding, i AS cell FROM scored WHERE rn = 1)
+SELECT vec_id FROM assigned, q
+WHERE cell IN (SELECT i FROM probe)
+ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+LIMIT {k}
+"""
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,10 +2352,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _EMB_CENTROIDS_ORACLE,
         "iri_conformance": _iri_conformance_oracle(),
         "langtag_conformance": _langtag_conformance_oracle(),
+        "similarity_ann_ivf": _ann_ivf_oracle(),
         # rows-only (approximate / no meaningful oracle):
         # lang_id (corpus labels are label⟂text noise — see textstats.lang_id),
-        # similarity_ann_ivf (unclustered corpus: IVF recall <1 is the
-        # honest semantics; recall bounds asserted in tests/),
         # embedding_near_dup_lsh (lossy across hyperplane boundaries; recall
         # vs the exact path asserted in tests/)
     }

@@ -204,27 +204,18 @@ def _near_dup_blocked(embeddings: DataFrame, threshold: float,
 # ---------------------------------------------------------------------------
 
 
-def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
-                        sample_size: int = 4096, iters: int = 10,
-                        seed: int = 13, vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic k-means on a driver-side sample (the standard IVF
-    recipe: the codebook is tiny and trained once, then broadcast).
+def kmeans_codebook(sample: np.ndarray, n_cells: int = 16, iters: int = 10,
+                    seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means over an ordered sample matrix.
 
-    The sample is taken in hash order of the vector contents — a bare
-    ``limit(n)`` reads only the first partition(s), which biases the
-    codebook whenever data is partition-correlated (e.g. clustered writes).
+    Pure numpy, no Spark: the SQL-mirror oracle for ivf_topk re-trains
+    the identical codebook from the same ordered sample (the sample
+    ordering is md5(id), expressible in both Spark and DuckDB), so the
+    result depends only on (sample rows + order, n_cells, iters, seed).
     """
-    sample = np.array(
-        [
-            r[0]
-            for r in embeddings.select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
-            .limit(sample_size)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sample = np.asarray(sample, dtype=np.float64)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
@@ -235,6 +226,32 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
                 v = members.mean(axis=0)
                 centroids[c] = v / max(np.linalg.norm(v), 1e-12)
     return centroids
+
+
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        sample_size: int = 4096, iters: int = 10,
+                        seed: int = 13, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (the standard IVF
+    recipe: the codebook is tiny and trained once, then broadcast).
+
+    The sample is taken in md5(id) order — a bare ``limit(n)`` reads only
+    the first partition(s), which biases the codebook whenever data is
+    partition-correlated (e.g. clustered writes); hashing the id both
+    de-biases the sample and makes the ordering reproducible in any SQL
+    engine, which is what lets the driver oracle mirror the codebook.
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in embeddings.select(vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    return kmeans_codebook(sample, n_cells, iters, seed)
 
 
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
@@ -248,8 +265,10 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
     cent = centroids  # captured in closure, shipped once per worker
 
     def _cells(vecs):
+        # no row normalization: argmax over unit centroids is scale-
+        # invariant, and raw dot products keep float behavior closest to
+        # the SQL oracle mirror (list_dot_product over the raw vectors)
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
 
     cell_udf = pandas_udf(_cells, IntegerType())
@@ -272,7 +291,9 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                                         vec_col=vec_col)
     q = np.asarray(query, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    # stable sort: ties break on the lower cell index, matching the SQL
+    # oracle's ORDER BY dot DESC, i ASC
+    probes = np.argsort(-(centroids @ q), kind="stable")[:n_probe].tolist()
     assigned = ivf_assign(embeddings, centroids, vec_col)
     return (
         assigned.where(F.col("cell").isin(probes))
