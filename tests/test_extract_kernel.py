@@ -45,6 +45,60 @@ def test_jsonld_uncoerced_url_stays_literal():
             "http://not-an-entity.example/x", "literal") in t
 
 
+def test_vendored_schema_org_context_coerces_url_terms():
+    """A page using the real remote schema.org context URL gets the
+    VENDORED context document (r4): url/sameAs/image string values are
+    @id-coerced IRIs (relative ones resolve against the page), while
+    text-ranged properties stay literals."""
+    for ctx in ("https://schema.org", "http://schema.org/",
+                "https://schema.org/docs/jsonldcontext.json"):
+        node = {
+            "@context": ctx,
+            "@id": "http://x/e1",
+            "name": "Alice Example",
+            "url": "/about",
+            "sameAs": "https://en.wikipedia.org/wiki/Alice_Example",
+            "image": "https://img.example/a.png",
+        }
+        t = _triples(_jsonld(node))
+        assert ("http://x/e1", SCHEMA + "url", "http://x/about",
+                "iri") in t
+        assert ("http://x/e1", SCHEMA + "sameAs",
+                "https://en.wikipedia.org/wiki/Alice_Example", "iri") in t
+        assert ("http://x/e1", SCHEMA + "image",
+                "https://img.example/a.png", "iri") in t
+        assert ("http://x/e1", SCHEMA + "name", "Alice Example",
+                "literal") in t
+
+
+def test_vendored_activitystreams_context():
+    """The AS2 remote context URL resolves to the vendored document:
+    bare terms expand under the AS vocab and object/link-ranged terms
+    are @id-coerced."""
+    AS = "https://www.w3.org/ns/activitystreams#"
+    node = {
+        "@context": "https://www.w3.org/ns/activitystreams",
+        "@type": "Like",
+        "@id": "http://x/act1",
+        "actor": "http://x/alice",
+        "object": "http://x/note7",
+        "summary": "Alice liked a note",
+    }
+    t = _triples(_jsonld(node))
+    assert ("http://x/act1", RDF_TYPE, AS + "Like", "iri") in t
+    assert ("http://x/act1", AS + "actor", "http://x/alice", "iri") in t
+    assert ("http://x/act1", AS + "object", "http://x/note7", "iri") in t
+    assert ("http://x/act1", AS + "summary", "Alice liked a note",
+            "literal") in t
+
+
+def test_unknown_remote_context_still_guesses_vocab():
+    node = {"@context": "https://vocab.example/ns", "@id": "http://x/e",
+            "p": "v"}
+    t = _triples(_jsonld(node))
+    assert ("http://x/e", "https://vocab.example/ns/p", "v", "literal") in t
+
+
 def test_jsonld_graph_and_nested_context():
     node = {
         "@context": {"@vocab": SCHEMA},

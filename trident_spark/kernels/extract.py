@@ -536,11 +536,16 @@ def _jsonld_context(ctx_value, vocab: str | None, prefixes: dict[str, str],
     prefixes = dict(prefixes)
     coerce = set(coerce)
     if isinstance(ctx_value, str):
-        base = ctx_value.rstrip("/#") + "/"
-        if "schema.org" in ctx_value:
-            vocab = SCHEMA_ORG
-        else:
-            vocab = base
+        from trident_spark.contexts import vendored_context
+
+        doc = vendored_context(ctx_value)
+        if doc is not None:
+            # well-known remote context → the vendored document (package
+            # data, like the IANA registry): @vocab + @id coercions
+            return _jsonld_context(doc, vocab, prefixes, frozenset(coerce))
+        # unknown remote context: guess @vocab from the URL (pragmatic
+        # fallback — better than dropping every term)
+        vocab = ctx_value.rstrip("/#") + "/"
     elif isinstance(ctx_value, dict):
         for k, v in ctx_value.items():
             if k == "@vocab" and isinstance(v, str):
