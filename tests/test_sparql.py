@@ -1547,6 +1547,17 @@ def test_regex_with_backslash_class(spark):
     assert [r["s"] for r in df2.collect()] == ["http://x/c"]
 
 
+def test_service_rejected_loudly(spark, graph):
+    """Federation is documented out of scope; the rejection must name
+    SERVICE, not trip over the endpoint IRI as a malformed pattern."""
+    with pytest.raises(SparqlError, match="SERVICE"):
+        query(graph, """SELECT ?s WHERE {
+            SERVICE <http://remote/sparql> { ?s ?p ?o } }""")
+    with pytest.raises(SparqlError, match="SERVICE"):
+        query(graph, """SELECT ?s WHERE {
+            ?s ?p ?o . SERVICE SILENT <http://r/> { ?s ?p ?o } }""")
+
+
 def test_path_inside_nested_graph_group(spark):
     """A property-path closure inside a nested group of a GRAPH ?var
     scope stays per-graph: the g1 chain a->b->c closes within g1 only,

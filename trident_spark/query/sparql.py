@@ -33,13 +33,18 @@ term kinds recovered by joining the graph's term dictionary.
 Simplifications vs full SPARQL 1.1 (documented, not silent): unbound (null)
 variables never join-match later patterns (SQL null semantics, not SPARQL
 compatibility — this also makes MINUS exact only when the shared variables
-are bound on both sides, the overwhelmingly common case); VALUES rows must
-be fully bound (UNDEF raises); SUM/AVG cast the lexical form to double;
+are bound on both sides, the overwhelmingly common case); VALUES UNDEF
+cells compile to NULL rows joined via §10.2 compatibility (broadcast
+theta join); SUM/AVG cast the lexical form to double;
 HAVING aggregate expressions must repeat an aggregate already named in the
 SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
 top-level patterns then match the default graph per SPARQL dataset
 semantics); property paths inside ``GRAPH ?var`` compute per-graph
-closures (nested GRAPH scopes are rejected loudly); no federation.
+closures (nested GRAPH scopes are rejected loudly); no federation —
+``SERVICE`` is deliberately out of scope for a single-warehouse engine
+and rejected loudly (a distributed engine calling per-row remote SPARQL
+endpoints is an anti-pattern at any scale; materialize the remote graph
+into the warehouse instead).
 
 Join semantics: runs of plain patterns join on 64-bit TERM-IDENTITY ids
 (a literal never matches an IRI with the same lexical form — the SPARQL
@@ -316,6 +321,11 @@ def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
         up = t.upper()
         if t == "}":
             return g, i + 1
+        if up == "SERVICE":
+            raise SparqlError(
+                "SERVICE (federation) is out of scope for this "
+                "single-warehouse engine — materialize the remote graph "
+                "into the warehouse instead")
         if up == "FILTER":
             nxt = toks[i + 1].upper() if i + 1 < len(toks) else ""
             if nxt in ("EXISTS", "NOT"):
