@@ -542,10 +542,27 @@ def test_remove_boilerplate_at_exact_cutoff(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in textstats.remove_boilerplate(
         df, max_doc_frac=0.05, min_docs=2).collect()}
-    # cutoff = max(int(4*0.05), 2) = 2; footer appears in exactly 2 docs
+    # cutoff = max(int(4*0.05)+1, 2) = 2; footer appears in exactly 2 docs
     assert out[0]["text"] == "body 0" and out[0]["n_paras_dropped"] == 1
     assert out[1]["text"] == "body 1" and out[1]["n_paras_dropped"] == 1
     assert out[2]["text"] == "body 2" and out[2]["n_paras_dropped"] == 0
+
+
+def test_remove_boilerplate_frac_boundary_is_strict(spark):
+    """'More than max_doc_frac of the corpus': with 10 docs and frac=0.2
+    a paragraph in exactly 2 docs (exactly 20%) is KEPT; 3 docs (30%) is
+    dropped (r4 review: >= on the combined max() removed exact-frac
+    paragraphs)."""
+    rows = [(i, f"AT LIMIT\n\nbody {i}") for i in range(2)]
+    rows += [(2 + i, f"OVER LIMIT\n\nmore {i}") for i in range(3)]
+    rows += [(5 + i, f"solo {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.remove_boilerplate(
+        df, max_doc_frac=0.2, min_docs=2).collect()}
+    assert out[0]["n_paras_dropped"] == 0   # exactly at the frac line
+    assert out[0]["text"].startswith("AT LIMIT")
+    assert out[2]["n_paras_dropped"] == 1   # strictly above it
+    assert out[2]["text"] == "more 0"
 
 
 def test_lsh_bucket_topk_batch_matches_single(spark, embeddings):

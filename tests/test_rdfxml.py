@@ -254,6 +254,31 @@ def test_strict_errors():
             "</s:p></rdf:Description></rdf:RDF>")
 
 
+def test_stray_text_is_loud():
+    """Non-whitespace character data where only elements are legal must
+    raise, not parse to a smaller graph (r4 review: a dump with stripped
+    property markup silently became an empty graph)."""
+    rdf = 'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+    s = 'xmlns:s="https://schema.org/"'
+    with pytest.raises(RdfXmlError, match="stray text"):
+        parse_rdfxml(f'<rdf:RDF {rdf}><rdf:Description rdf:about="http://x"'
+                     ">hello world</rdf:Description></rdf:RDF>")
+    with pytest.raises(RdfXmlError, match="stray text"):
+        parse_rdfxml(
+            f'<rdf:RDF {rdf} {s}><rdf:Description rdf:about="http://x">'
+            "<s:name>ok</s:name>orphan tail"
+            "</rdf:Description></rdf:RDF>")
+    with pytest.raises(RdfXmlError, match="stray text"):
+        parse_rdfxml(f'<rdf:RDF {rdf}>loose</rdf:RDF>')
+    # whitespace-only layout text stays legal
+    got = parse_rdfxml(f"""<rdf:RDF {rdf} {s}>
+        <rdf:Description rdf:about="http://x">
+            <s:name>ok</s:name>
+        </rdf:Description>
+    </rdf:RDF>""")
+    assert len(got) == 1
+
+
 def test_serializer_rejects_unrepresentable():
     with pytest.raises(ValueError, match="control"):
         from trident_spark.pipeline.rdfxml import _esc_text

@@ -1619,8 +1619,8 @@ def test_values_undef_compatibility(spark):
         }
     """)
     assert [(r["s"], r["m"]) for r in df2.collect()] == [("http://x/b", None)]
-    # VALUES with UNDEF opening the group joins at group end (inner join
-    # commutes), not silently dropped
+    # VALUES with UNDEF opening the group: its rows ARE the plan; the
+    # following pattern compat-joins (UNDEF row matches every binding)
     df3 = query(g, """
         SELECT ?s ?t WHERE {
             VALUES (?t) { (UNDEF) (<http://T/3>) }
@@ -1632,6 +1632,50 @@ def test_values_undef_compatibility(spark):
         ("http://x/a", "http://T/1"), ("http://x/b", "http://T/2"),
         ("http://x/c", "http://T/3"),
     }
+
+
+def test_values_undef_with_optional_and_bind(spark):
+    """r4 review findings: an UNDEF row must survive OPTIONAL (the left
+    join extends the unbound var per §10.2 compatibility, it does NOT
+    drop the solution), BIND over an UNDEF-only var works, and
+    VALUES-then-OPTIONAL is a legal group opening."""
+    rows = [
+        ("http://x/s", "http://p/knows", "http://x/bobref", "iri",
+         None, None),
+        ("http://x/bobref", "http://p/name", "Bob", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    # UNDEF row extended by OPTIONAL → n=Bob; bound row stays Zed
+    df = query(g, """
+        SELECT ?s ?n WHERE {
+            VALUES ?n { UNDEF "Zed" }
+            ?s <http://p/knows> ?o .
+            OPTIONAL { ?o <http://p/name> ?n }
+        }
+    """)
+    got = {(r["s"], r["n"]) for r in df.collect()}
+    assert got == {("http://x/s", "Bob"), ("http://x/s", "Zed")}
+    # BIND over a var bound only by an UNDEF-bearing VALUES
+    df2 = query(g, """
+        SELECT ?m ?x WHERE {
+            ?s <http://p/knows> ?o .
+            VALUES ?m { UNDEF "v" }
+            BIND(COALESCE(?m, "fallback") AS ?x)
+        }
+    """)
+    assert {(r["m"], r["x"]) for r in df2.collect()} == \
+        {(None, "fallback"), ("v", "v")}
+    # VALUES opening the group followed by OPTIONAL is legal
+    df3 = query(g, """
+        SELECT ?o ?n WHERE {
+            VALUES ?o { <http://x/bobref> UNDEF }
+            OPTIONAL { ?o <http://p/name> ?n }
+        }
+    """)
+    got3 = [(r["o"], r["n"]) for r in df3.collect()]
+    # the bound row extends directly; the UNDEF row compat-extends to the
+    # same solution (bag semantics: two identical solutions)
+    assert sorted(got3) == [("http://x/bobref", "Bob")] * 2
 
 
 def test_echar_control_char_literals(spark):
@@ -1656,6 +1700,18 @@ def test_echar_control_char_literals(spark):
     df3 = query(g, 'SELECT ?x WHERE { <http://x/c> <http://p/n> ?o . '
                    'BIND(CONCAT(?o, "\\r\\n") AS ?x) }')
     assert [r["x"] for r in df3.collect()] == ["plain\r\n"]
+    # \f has NO Spark escape (r4 review: '\f' parses as 'f') → \uXXXX:
+    # must match the real form-feed literal and NOT the 'f' one
+    gf = spark.createDataFrame(
+        [("http://x/f", "http://p/n", "A\fcme", "literal", None, None),
+         ("http://x/g", "http://p/n", "Afcme", "literal", None, None)],
+        COLS)
+    dff = query(gf, 'SELECT ?s WHERE { ?s <http://p/n> ?o . '
+                    'FILTER(?o = "A\\fcme") }')
+    assert [r["s"] for r in dff.collect()] == ["http://x/f"]
+    dfb = query(gf, 'SELECT ?x WHERE { <http://x/g> <http://p/n> ?o . '
+                    'BIND(CONCAT(?o, "\\b\\f") AS ?x) }')
+    assert [r["x"] for r in dfb.collect()] == ["Afcme\b\f"]
     # unknown escapes stay lenient: "\d" is a literal backslash-d
     df4 = query(g, r'SELECT ?s WHERE { ?s <http://p/n> ?o . '
                    r'FILTER(REGEX(?o, "^pla\\w+$")) }')

@@ -55,6 +55,34 @@ def test_driver_local_frames_left_alone(spark):
     assert ensure_parallelism(loc) is loc
 
 
+def test_plan_word_in_data_does_not_false_positive(spark, tmp_path):
+    """Operator detection walks plan node names, not the plan STRING —
+    a filter literal containing 'Sort'/'Join' must not suppress the
+    repartition (r4 review: the regex version read `Filter (text = 'Sort
+    by price')` as a Sort node and left the scan single-task)."""
+    p = str(tmp_path / "w.parquet")
+    spark.createDataFrame([(i, "Sort by price Join Window")
+                           for i in range(50)],
+                          "id long, text string").coalesce(1) \
+        .write.parquet(p)
+    df = spark.read.parquet(p).where(F.col("text") == "Sort by price")
+    out = ensure_parallelism(df)
+    assert out is not df
+
+
+def test_many_row_group_single_file_left_alone(spark, tmp_path):
+    """A single parquet FILE with ≥ target row groups already scans as
+    that many tasks — repartitioning would reduce parallelism."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(pa.table({"id": list(range(4000))}), p,
+                   row_group_size=50)  # 80 row groups
+    df = spark.read.parquet(p)
+    assert ensure_parallelism(df) is df
+
+
 def test_min_parts_honored(spark, tmp_path):
     p = str(tmp_path / "one4.parquet")
     spark.range(100).coalesce(1).write.parquet(p)

@@ -296,11 +296,13 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
         .withColumn("para_hash", F.md5(F.trim(F.col("para"))))
     )
     n_docs = docs.count()
-    cutoff = max(int(n_docs * max_doc_frac), min_docs)
+    # docstring contract, exactly: MORE than max_doc_frac of the corpus
+    # (strictly above the frac line) AND at least min_docs documents
+    cutoff = max(int(n_docs * max_doc_frac) + 1, min_docs)
     boiler = (
         paras.groupBy("para_hash")
         .agg(F.countDistinct("id").alias("n_docs"))
-        .where(F.col("n_docs") >= cutoff)  # "at least min_docs" per docstring
+        .where(F.col("n_docs") >= cutoff)
         .select("para_hash")
     )
     kept = paras.join(boiler, "para_hash", "left_anti")

@@ -110,9 +110,24 @@ class _Parser:
 
     # -- grammar ------------------------------------------------------------
 
+    @staticmethod
+    def _no_stray_text(el, where: str) -> None:
+        """Non-whitespace character data where only elements are legal is
+        a hard error — a dump whose markup was stripped must fail loudly,
+        not parse to a smaller graph (r4 review finding)."""
+        if (el.text or "").strip():
+            raise RdfXmlError(
+                f"stray text content inside {where}: {el.text.strip()[:40]!r}")
+        for child in el:
+            if (child.tail or "").strip():
+                raise RdfXmlError(
+                    f"stray text after an element inside {where}: "
+                    f"{child.tail.strip()[:40]!r}")
+
     def parse(self) -> list[tuple]:
         base, lang = self._scope(self.root, "", "")
         if self.root.tag == _rdf("RDF"):
+            self._no_stray_text(self.root, "rdf:RDF")
             for child in self.root:
                 self.node_element(child, base, lang)
         else:  # a single node element as document root is legal
@@ -159,6 +174,7 @@ class _Parser:
             self._emit(subj, self._attr_iri(attr), value, "literal",
                        None, lang or None)
 
+        self._no_stray_text(el, "a node element")
         li_counter = [0]
         for prop in el:
             self.property_element(subj, prop, base, lang, li_counter)
@@ -207,10 +223,12 @@ class _Parser:
                     "rdf:nodeID/property attributes")
             b = self._bnode()
             obj = (b, "blank", None, None)
+            self._no_stray_text(el, "parseType='Resource'")
             inner_li = [0]
             for sub in children:
                 self.property_element(b, sub, base, lang, inner_li)
         elif parse_type == "Collection":
+            self._no_stray_text(el, "parseType='Collection'")
             obj_nodes = [self.node_element(c, base, lang) for c in children]
             if not obj_nodes:
                 obj = (RDF_NS + "nil", "iri", None, None)
@@ -240,6 +258,10 @@ class _Parser:
             if len(children) != 1:
                 raise RdfXmlError(
                     "a property element holds exactly one node element")
+            if (children[0].tail or "").strip():
+                raise RdfXmlError(
+                    "stray text after the node element inside a property "
+                    f"element: {children[0].tail.strip()[:40]!r}")
             item = self.node_element(children[0], base, lang)
             obj = (item, "blank" if item.startswith("_:") else "iri",
                    None, None)

@@ -482,8 +482,10 @@ def _sql_str(tok: str) -> str:
     body = body.replace("\\", "\\\\")    # re-escape for Spark's C-unescaping
     # Control chars go back out as Spark escape sequences so the generated
     # SQL text stays single-line and survives any downstream reparse.
+    # NB Spark's unescaper has NO \f (it would decode to the letter 'f',
+    # r4 review finding) — \f and \b use \uXXXX, which Spark does decode.
     for ch, esc in (("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
-                    ("\b", "\\b"), ("\f", "\\f")):
+                    ("\b", "\\u0008"), ("\f", "\\u000C")):
         body = body.replace(ch, esc)
     return "'" + body.replace("'", "''") + "'"
 
@@ -1021,9 +1023,34 @@ def _values_compat_join(plan: DataFrame, bound: set[str], scan: DataFrame,
 
 
 def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
-          vars_: set[str], how: str) -> tuple[DataFrame, set[str]]:
+          vars_: set[str], how: str,
+          nullable: set[str] | None = None) -> tuple[DataFrame, set[str]]:
+    """Join the next group element.  ``nullable`` names plan columns that
+    may hold NULL = unbound (VALUES UNDEF cells): shared keys among them
+    use SPARQL §10.2 compatibility (plan-side NULL matches anything, then
+    COALESCE re-binds) instead of an equi-join that would silently drop
+    the unbound rows.  Inner compatibility joins re-bind the variable
+    (remove it from ``nullable``); left joins keep it nullable."""
     keys = sorted(bound & vars_)
-    if keys:
+    null_keys = [k for k in keys if nullable and k in nullable]
+    if null_keys:
+        ren = {v: f"_cj_{v}" for v in keys}
+        scan2 = scan
+        for v in keys:
+            scan2 = scan2.withColumnRenamed(v, ren[v])
+        cond = None
+        for v in keys:
+            c = F.col(v) == F.col(ren[v])
+            if v in null_keys:
+                c = F.col(v).isNull() | c
+            cond = c if cond is None else cond & c
+        plan = plan.join(scan2, cond, how)
+        for v in keys:
+            plan = plan.withColumn(v, F.coalesce(F.col(v), F.col(ren[v])))
+        plan = plan.drop(*ren.values())
+        if how == "inner" and nullable is not None:
+            nullable -= set(null_keys)  # every surviving row is re-bound
+    elif keys:
         plan = plan.join(scan, keys, how)
     elif how == "left":
         raise SparqlError("OPTIONAL group shares no variables with the "
@@ -1305,10 +1332,9 @@ def _compile_group(triples: DataFrame, group: _Group,
             elements.append(el)
     _flush()
 
-    # VALUES blocks with UNDEF cells need the compatibility join, which
-    # requires a left side; when one opens the group it is deferred (the
-    # SPARQL algebra joins VALUES into the group — inner join, commutative)
-    pending_values: list[tuple[DataFrame, set[str]]] = []
+    # variables that may be NULL = unbound in `plan` (VALUES UNDEF
+    # cells): subsequent joins on them use §10.2 compatibility (_join)
+    nullable: set[str] = set()
 
     for idx, el in enumerate(elements):
         if isinstance(el, tuple) and el and el[0] == "bgp_run":
@@ -1403,12 +1429,18 @@ def _compile_group(triples: DataFrame, group: _Group,
                     for row in rows]
             scan = triples.sparkSession.createDataFrame(
                 data, ", ".join(f"`{v}` string" for v in vars_))
-            if any(cell is None for row in data for cell in row):
+            undef_vars = {v for v in vars_
+                          if any(row[vars_.index(v)] is None
+                                 for row in data)}
+            if undef_vars:
                 if plan is None:
-                    pending_values.append((scan, set(vars_)))
+                    # the VALUES rows ARE the group so far; NULL cells
+                    # stay unbound and compat-join with what follows
+                    plan, bound = scan, set(vars_)
                 else:
                     plan, bound = _values_compat_join(
                         plan, bound, scan, set(vars_))
+                nullable |= undef_vars
                 continue
             vars_, how = set(vars_), "inner"
         elif el[0] == "subselect":
@@ -1446,12 +1478,7 @@ def _compile_group(triples: DataFrame, group: _Group,
                 raise SparqlError("OPTIONAL cannot be the first pattern")
             plan, bound = scan, vars_
         else:
-            plan, bound = _join(plan, bound, scan, vars_, how)
-    for vscan, vvars in pending_values:
-        if plan is None:
-            plan, bound = vscan, set(vvars)  # group is just the VALUES rows
-        else:
-            plan, bound = _values_compat_join(plan, bound, vscan, vvars)
+            plan, bound = _join(plan, bound, scan, vars_, how, nullable)
     if plan is None:
         raise SparqlError("empty group pattern")
     # metadata filters on vars bound in SUBJECT/PREDICATE position: kind

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -30,13 +28,55 @@ def subject_chunk_key(df: DataFrame, keys: list[str], chunk_size: int,
                      for c in hash_cols])
     return df.withColumn("_chunk", F.pmod(h, n_chunks))
 
+
 # Logical operators whose presence means the frame's partitioning is already
 # governed by spark.sql.shuffle.partitions / AQE — repartitioning on top of
 # them is at best redundant and at worst (via the old .rdd partition probe)
 # forced a second execution of every upstream query stage.
-_SHUFFLE_NODES = re.compile(
-    r"\b(Aggregate|Join|Sort|Window|Repartition(?:ByExpression)?|"
-    r"Deduplicate|Distinct|Except|Intersect|Rebalance)\b")
+_SHUFFLE_NODES = frozenset({
+    "Aggregate", "Join", "Sort", "Repartition", "RepartitionByExpression",
+    "Deduplicate", "Distinct", "Except", "Intersect", "Window",
+    "RebalancePartitions", "FlatMapGroupsInPandas", "CoGroup",
+    "FlatMapGroupsInPandasWithState", "FlatMapGroupsInArrow",
+})
+
+# Driver-originated leaves are already sliced to defaultParallelism
+# (parallelize/range) or carry their checkpointed partitioning (LogicalRDD)
+_PARALLEL_LEAVES = frozenset({"LogicalRDD", "LocalRelation", "Range",
+                              "OneRowRelation"})
+
+
+def _plan_node_names(jplan, out: set[str]) -> None:
+    out.add(jplan.nodeName())
+    children = jplan.children()
+    for i in range(children.size()):
+        _plan_node_names(children.apply(i), out)
+
+
+def _file_splits(files: list[str]) -> int | None:
+    """Best-effort split count for a scan: parquet row groups per local
+    file (a 10 GB single file with 100 row groups scans as ~100 tasks —
+    repartitioning it would REDUCE parallelism and add a shuffle).
+    Returns None when unknowable cheaply (remote scheme, not parquet)."""
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            f = f[len("file:"):]
+            while f.startswith("//"):
+                f = f[1:]
+        elif "://" in f:
+            return None  # remote: no cheap row-group probe
+        if f.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+
+                total += pq.ParquetFile(f).metadata.num_row_groups
+            except Exception:  # noqa: BLE001 — unreadable → unknown
+                return None
+        else:
+            total += 1  # non-parquet (text/json): splittable by bytes,
+            # but a single file may still be one task worst-case
+    return total
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -53,28 +93,35 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     double-executed the upstream plan and read AQE's post-coalesce count
     (often 1 for small data), triggering a pointless extra shuffle — the
     round-3 kg_turtle_roundtrip/kg_rdfstar_reify bench regressions.
+    Operator detection walks the analyzed plan tree's node names (NOT its
+    string rendering, which false-positives on data containing words like
+    'Sort').
 
     Decision table:
 
     - plan contains a shuffle operator (aggregate/join/distinct/...) →
-      return as-is: shuffle.partitions / AQE already set the parallelism,
-      and at 100 TB those knobs — not a blanket ``repartition(32)`` — are
-      the right control.
-    - narrow plan over ≥ ``target`` input files → as-is (enough splits).
-    - otherwise (single-file scans, local relations, narrow chains over
-      checkpointed RDDs) → ``repartition(target)``: a narrow round-robin
-      shuffle of the rows about to cross the Arrow boundary anyway.
+      as-is: shuffle.partitions / AQE already set the parallelism, and at
+      100 TB those knobs — not a blanket ``repartition(32)`` — are the
+      right control.
+    - plan contains a driver-originated leaf (LogicalRDD / LocalRelation /
+      Range) → as-is: parallelize/range slices to defaultParallelism and
+      checkpointed RDDs keep their partitioning.
+    - narrow plan over ≥ ``target`` input files, or over local parquet
+      whose total ROW-GROUP count reaches the target → as-is (enough
+      real splits; one row group = one task regardless of byte-ranges).
+    - otherwise → ``repartition(target)``: a narrow round-robin shuffle
+      of the rows about to cross the Arrow boundary anyway.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if _SHUFFLE_NODES.search(plan):
+    names: set[str] = set()
+    _plan_node_names(df._jdf.queryExecution().analyzed(), names)
+    if names & _SHUFFLE_NODES or names & _PARALLEL_LEAVES:
         return df
-    # Driver-originated leaves are already sliced to defaultParallelism
-    # (parallelize/range) or carry their checkpointed partitioning
-    # (LogicalRDD) — a repartition would only add a shuffle.
-    if re.search(r"\b(LogicalRDD|LocalRelation|Range)\b", plan):
+    files = df.inputFiles()
+    if len(files) >= target:
         return df
-    if len(df.inputFiles()) >= target:
+    splits = _file_splits(files)
+    if splits is not None and splits >= target:
         return df
     return df.repartition(target)
