@@ -1379,6 +1379,149 @@ FROM documents
 """
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the corpus
+    text carries none by construction) — the SQL oracle rebuilds the
+    identical augmentation, so detection AND redaction are end-to-end
+    checkable."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), F.col("doc_id"),
+            F.lit("@example.com or (415) 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)), 4, "0"),
+            F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), F.lit(256)),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+
+
+def q_pii_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over PII-augmented documents: per-doc
+    category counts joined with the redacted text.  Patterns live in the
+    Java-regex ∩ RE2 subset, so the oracle evaluates the IDENTICAL
+    expressions."""
+    from trident_spark.operators.pii import pii_signals, redact_pii
+
+    docs = _pii_augmented_docs(spark, sf_dir)
+    return pii_signals(docs).join(
+        redact_pii(docs).select("id", F.col("text").alias("redacted"),
+                                "was_redacted"),
+        "id",
+    )
+
+
+def _pii_oracle() -> str:
+    from trident_spark.operators.pii import PII_PATTERNS
+
+    aug = ("text || ' contact doc' || doc_id || '@example.com or "
+           "(415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+           "|| ' ip 10.0.' || (doc_id % 256) || '.7'")
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    red = "t"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id AS id, {aug} AS t FROM documents),
+c AS (SELECT id, t, {counts} FROM aug)
+SELECT id, n_email, n_credit_card, n_ssn, n_phone, n_ipv4,
+       {total} AS n_pii_total,
+       {red} AS redacted, {red} <> t AS was_redacted
+FROM c
+"""
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with planted contamination: the
+    benchmark IS the first three documents, so those three must flag at
+    overlap 1.0 against themselves; every cross-doc collision the corpus
+    happens to contain is recomputed identically by the oracle."""
+    from trident_spark.operators.decontaminate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    return decontaminate(docs, bench, threshold=0.5, n=8).select(
+        "id", "max_overlap", "worst_bench_id", "is_contaminated")
+
+
+_DECONTAMINATION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i
+  FROM toks WHERE len(t) >= 8
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS h
+  FROM pos
+),
+bg AS (SELECT doc_id AS bench_id, h FROM grams WHERE doc_id < 3),
+bsz AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bg GROUP BY bench_id),
+hits AS (
+  SELECT g.doc_id AS id, bg.bench_id, COUNT(*) AS n_shared
+  FROM grams g JOIN bg ON g.h = bg.h
+  GROUP BY g.doc_id, bg.bench_id
+),
+scored AS (
+  SELECT id, hits.bench_id,
+         round(n_shared / CAST(bench_grams AS DOUBLE), 4) AS overlap_frac
+  FROM hits JOIN bsz ON hits.bench_id = bsz.bench_id
+),
+worst AS (
+  SELECT id, overlap_frac AS max_overlap, bench_id AS worst_bench_id
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY id
+            ORDER BY overlap_frac DESC, bench_id DESC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT d.doc_id AS id,
+       coalesce(w.max_overlap, 0.0) AS max_overlap,
+       w.worst_bench_id,
+       coalesce(w.max_overlap, 0.0) >= 0.5 AS is_contaminated
+FROM documents d LEFT JOIN worst w ON d.doc_id = w.id
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization over documents augmented with
+    deterministic mess (leading spaces, CRLF runs, a zero-width char) —
+    the oracle rebuilds the same input and mirrors every step, NFC via
+    DuckDB's nfc_normalize."""
+    from trident_spark.operators.textstats import normalize_text
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("  "), F.col("text"),
+                 F.lit("\r\n\r\n\r\nend\u200b.")).alias("text"),
+    )
+    return normalize_text(docs)
+
+
+def _text_normalize_oracle() -> str:
+    zw = "".join(chr(c) for c in (0x200B, 0x200C, 0x200D, 0xFEFF))
+    aug = "'  ' || text || (chr(13) || chr(10)) || (chr(13) || chr(10)) || (chr(13) || chr(10)) || 'end' || chr(8203) || '.'"
+    chain = f"regexp_replace(t, '\\r\\n?', chr(10), 'g')"
+    chain = (f"regexp_replace({chain}, "
+             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')")
+    chain = f"regexp_replace({chain}, '[{zw}]', '', 'g')"
+    chain = f"regexp_replace({chain}, '[ \\t]+', ' ', 'g')"
+    chain = f"regexp_replace({chain}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    chain = f"nfc_normalize(trim({chain}))"
+    return f"""
+WITH aug AS (SELECT doc_id AS id, {aug} AS t FROM documents)
+SELECT id, {chain} AS text, {chain} <> t AS was_changed FROM aug
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.operators.textstats import quality_features
 
@@ -2276,6 +2419,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        # --- r4 training-data hygiene ops ---
+        "pii_suite": q_pii_suite,
+        "decontamination": q_decontamination,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -2407,4 +2554,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_token_count": _TOKEN_COUNT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
+        "pii_suite": _pii_oracle(),
+        "decontamination": _DECONTAMINATION_ORACLE,
+        "text_normalize": _text_normalize_oracle(),
     }

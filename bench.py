@@ -165,6 +165,9 @@ def run_headline(spark) -> dict[str, float]:
         "embedding_centroids",
         "text_quality",
         "doc_fingerprint",
+        "pii_suite",
+        "decontamination",
+        "text_normalize",
         "lang_id",
         "similarity_topk",
         "similarity_ann_lsh",

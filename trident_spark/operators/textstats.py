@@ -11,7 +11,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-__all__ = ["token_count", "quality_features", "fingerprint", "lang_id"]
+__all__ = ["token_count", "quality_features", "fingerprint", "lang_id",
+           "normalize_text"]
 
 
 def token_count(docs: DataFrame, text_col: str = "text",
@@ -440,4 +441,43 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         frac_dup(lines).alias("dup_line_fraction"),
         frac_dup(paras).alias("dup_para_fraction"),
         top_frac.alias("top_bigram_fraction"),
+    )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Corpus text normalization: the deterministic cleanup pass a
+    training pipeline runs before tokenization.
+
+    Steps, in order (each mirrorable 1:1 in the DuckDB oracle):
+
+    1. line endings: ``\\r\\n`` / lone ``\\r`` → ``\\n``
+    2. strip C0 controls except TAB/LF (and DEL)
+    3. remove zero-width characters (ZWSP/ZWNJ/ZWJ/BOM)
+    4. collapse runs of spaces/tabs to one space
+    5. collapse 3+ newlines to a paragraph break (2)
+    6. trim
+    7. Unicode NFC (the one Python hop — vectorized Arrow batch;
+       DuckDB mirror: ``nfc_normalize``)
+
+    Returns (id, text, was_changed).
+    """
+    @pandas_udf(StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    col = F.col(text_col)
+    col = F.regexp_replace(col, "\r\n?", "\n")
+    col = F.regexp_replace(col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    col = F.regexp_replace(col, "[\u200b\u200c\u200d\ufeff]", "")
+    col = F.regexp_replace(col, "[ \t]+", " ")
+    col = F.regexp_replace(col, "\n{3,}", "\n\n")
+    col = _nfc(F.trim(col))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        col.alias("text"),
+        (col != F.col(text_col)).alias("was_changed"),
     )
