@@ -2285,18 +2285,19 @@ def q_kg_sparql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
-        SELECT DISTINCT ?doc ?langU ?srcnum ?sizeclass ?nlen WHERE {
+        SELECT DISTINCT ?doc ?langU ?srcnum ?sizeclass ?nlen ?nmh WHERE {
             ?doc schema:provider ?org ;
                  schema:inLanguage ?lang ;
                  schema:characterCount ?n .
             ?org schema:name ?nm .
-            FILTER(sameTerm(?lang, ?lang) &&
+            FILTER(sameTerm(?lang, ?lang) && isNUMERIC(?n) &&
                    ?nm IN ("src1", "src2", "src3", "src4"))
             BIND(UCASE(STR(?lang)) AS ?langU)
             BIND(REPLACE(STRAFTER(?nm, "src"), "1", "9") AS ?srcnum)
             BIND(IF(?n * 2 >= 1000, "big",
                     COALESCE(STRBEFORE(?nm, "rc"), "small")) AS ?sizeclass)
             BIND(STRLEN(?nm) - 1 AS ?nlen)
+            BIND(MD5(?nm) AS ?nmh)
         }
         """,
     ).withColumn("nlen", F.col("nlen").cast("long"))
@@ -2307,7 +2308,8 @@ SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS doc,
        UPPER(lang) AS langU,
        REPLACE(substr(source, 4), '1', '9') AS srcnum,
        CASE WHEN n_chars * 2 >= 1000 THEN 'big' ELSE 's' END AS sizeclass,
-       CAST(length(source) - 1 AS BIGINT) AS nlen
+       CAST(length(source) - 1 AS BIGINT) AS nlen,
+       md5(source) AS nmh
 FROM documents
 WHERE source IN ('src1', 'src2', 'src3', 'src4')
 """

@@ -1547,6 +1547,59 @@ def test_regex_with_backslash_class(spark):
     assert [r["s"] for r in df2.collect()] == ["http://x/c"]
 
 
+def test_hash_numeric_datetime_functions(spark):
+    """§17.4 library additions (r4): MD5/SHA1/SHA256, ROUND/CEIL/FLOOR,
+    isNUMERIC, and the xsd:dateTime accessors (lexical-form reads, so no
+    engine timestamp-parser divergence)."""
+    import hashlib
+
+    rows = [("http://x/a", "http://p/v", "hello", "literal", None, None),
+            ("http://x/b", "http://p/n", "2.6", "literal", None, None),
+            ("http://x/c", "http://p/d", "2025-03-04T05:06:07.25Z",
+             "literal", None, None),
+            ("http://x/e", "http://p/d", "-0044-01-02T03:04:05+02:30",
+             "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?h ?h2 WHERE {
+        <http://x/a> <http://p/v> ?o .
+        BIND(MD5(?o) AS ?h) BIND(SHA256(?o) AS ?h2) }""")
+    r = df.first()
+    assert r["h"] == hashlib.md5(b"hello").hexdigest()
+    assert r["h2"] == hashlib.sha256(b"hello").hexdigest()
+    df2 = query(g, """SELECT ?r ?c ?f ?num WHERE {
+        <http://x/b> <http://p/n> ?o .
+        BIND(ROUND(?o) AS ?r) BIND(CEIL(?o) AS ?c)
+        BIND(FLOOR(?o) AS ?f) BIND(isNUMERIC(?o) AS ?num) }""")
+    r2 = df2.first()
+    assert (float(r2["r"]), float(r2["c"]), float(r2["f"])) == (3.0, 3.0, 2.0)
+    assert r2["num"] is True
+    df3 = query(g, """SELECT ?y ?mo ?d ?hh ?mi ?s ?tz WHERE {
+        <http://x/c> <http://p/d> ?o .
+        BIND(YEAR(?o) AS ?y) BIND(MONTH(?o) AS ?mo) BIND(DAY(?o) AS ?d)
+        BIND(HOURS(?o) AS ?hh) BIND(MINUTES(?o) AS ?mi)
+        BIND(SECONDS(?o) AS ?s) BIND(TZ(?o) AS ?tz) }""")
+    r3 = df3.first()
+    assert (r3["y"], r3["mo"], r3["d"], r3["hh"], r3["mi"]) == \
+        (2025, 3, 4, 5, 6)
+    assert r3["s"] == 7.25 and r3["tz"] == "Z"
+    df4 = query(g, """SELECT ?y ?tz WHERE {
+        <http://x/e> <http://p/d> ?o .
+        BIND(YEAR(?o) AS ?y) BIND(TZ(?o) AS ?tz) }""")
+    r4 = df4.first()
+    assert r4["y"] == -44 and r4["tz"] == "+02:30"
+    # isNUMERIC false on prose
+    df5 = query(g, 'SELECT ?n WHERE { <http://x/a> <http://p/v> ?o . '
+                   'BIND(isNUMERIC(?o) AS ?n) }')
+    assert df5.first()["n"] is False
+
+
+def test_nondeterministic_functions_rejected(spark, graph):
+    for fn in ("NOW()", "RAND()", "UUID()", "STRUUID()"):
+        with pytest.raises(SparqlError, match="non-deterministic"):
+            query(graph, f"SELECT ?x WHERE {{ ?s ?p ?o . "
+                         f"BIND({fn} AS ?x) }}")
+
+
 def test_service_rejected_loudly(spark, graph):
     """Federation is documented out of scope; the rejection must name
     SERVICE, not trip over the endpoint IRI as a malformed pattern."""

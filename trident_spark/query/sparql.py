@@ -504,13 +504,31 @@ _FILTER_FUNCS = {
     "REPLACE": "regexp_replace",  # SPARQL REPLACE is regex-based
     "COALESCE": "coalesce",
     "IF": "if",
+    "MD5": "md5",
+    "SHA1": "sha1",
+    "ROUND": "round",
+    "CEIL": "ceil",
+    "FLOOR": "floor",
 }
 
 
 # SPARQL functions with no 1:1 Spark SQL builtin — expanded as SQL macros
 # over their compiled argument expressions
 _MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
-                "ENCODE_FOR_URI", "REGEX")
+                "ENCODE_FOR_URI", "REGEX", "SHA256", "SHA384", "SHA512",
+                "ISNUMERIC", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                "SECONDS", "TZ")
+
+# non-deterministic SPARQL builtins: a distributed engine re-evaluating
+# them per partition/retry cannot give the single-evaluation semantics
+# the spec implies — reject loudly rather than answer wrong
+_NONDET_FUNCS = ("NOW", "RAND", "UUID", "STRUUID", "BNODE")
+
+# xsd:dateTime lexical form: the accessor macros read components straight
+# off the canonical lexical representation (engine-portable, no timestamp
+# parser divergence); group k = YEAR..SECONDS below
+_XSD_DT_RE = ("'^(-?\\\\d{4,})-(\\\\d{2})-(\\\\d{2})T"
+              "(\\\\d{2}):(\\\\d{2}):(\\\\d{2}(?:\\\\.\\\\d+)?)'")
 
 
 def _parse_call_args(toks: list[str], i: int) -> tuple[list[list[str]], int]:
@@ -575,6 +593,25 @@ def _expand_macro(name: str, args: list[list[str]],
         return (f"(CASE WHEN {rng} = '*' THEN {tag} <> '' "
                 f"ELSE lower({tag}) = lower({rng}) "
                 f"OR startswith(lower({tag}), lower({rng}) || '-') END)")
+    if name in ("SHA256", "SHA384", "SHA512") and len(sql) == 1:
+        return f"sha2({sql[0]}, {name[3:]})"
+    if name == "ISNUMERIC" and len(sql) == 1:
+        # numeric-literal lexical forms (xsd integer/decimal/double);
+        # this engine types by lexical shape — documented approximation
+        return (f"({sql[0]} rlike "
+                "'^[+-]?(\\\\d+(\\\\.\\\\d*)?|\\\\.\\\\d+)"
+                "([eE][+-]?\\\\d+)?$')")
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                "SECONDS") and len(sql) == 1:
+        g = {"YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4, "MINUTES": 5,
+             "SECONDS": 6}[name]
+        expr = f"regexp_extract({sql[0]}, {_XSD_DT_RE}, {g})"
+        if name == "SECONDS":  # xsd:decimal incl. the fraction
+            return f"CAST({expr} AS DOUBLE)"
+        return f"CAST({expr} AS INT)"
+    if name == "TZ" and len(sql) == 1:
+        return (f"regexp_extract({sql[0]}, "
+                "'(Z|[+-]\\\\d{2}:\\\\d{2})$', 1)")
     if name == "SAMETERM" and len(sql) == 2:
         # term identity: lexical form plus kind/lang/datatype whenever the
         # hidden metadata columns are present for both variable args
@@ -608,6 +645,11 @@ def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
             args, i = _parse_call_args(toks, i + 1)
             out.append(_expand_macro(up, args, cols))
             continue
+        elif up in _NONDET_FUNCS and toks[i + 1 : i + 2] == ["("]:
+            raise SparqlError(
+                f"{up}() is non-deterministic — a distributed engine "
+                "re-evaluates expressions per partition and retry, which "
+                "cannot honor its single-evaluation semantics")
         elif up == "BOUND":
             if i + 3 >= len(toks) or toks[i + 1] != "(" or toks[i + 3] != ")":
                 raise SparqlError("BOUND takes one variable")
