@@ -1593,6 +1593,38 @@ def test_hash_numeric_datetime_functions(spark):
     assert df5.first()["n"] is False
 
 
+def test_term_constructors_attach_metadata(spark):
+    """STRLANG/STRDT/IRI in BIND build TYPED terms: LANG()/DATATYPE()/
+    isIRI observe the constructed type, and CONSTRUCT emits the right
+    kinds (r4)."""
+    rows = [("http://x/a", "http://p/n", "hola", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?l ?dtv ?isi WHERE {
+        ?s <http://p/n> ?o .
+        BIND(STRLANG(?o, "es") AS ?t)
+        BIND(STRDT(?o, <http://www.w3.org/2001/XMLSchema#token>) AS ?d)
+        BIND(IRI(CONCAT("http://x/", ?o)) AS ?u)
+        BIND(LANG(?t) AS ?l) BIND(DATATYPE(?d) AS ?dtv)
+        BIND(isIRI(?u) AS ?isi) }""")
+    r = df.first()
+    assert r["l"] == "es"
+    assert r["dtv"] == "http://www.w3.org/2001/XMLSchema#token"
+    assert r["isi"] is True
+    # CONSTRUCT sees the constructed kinds/metadata
+    from trident_spark.query.sparql import construct
+
+    out = construct(g, """CONSTRUCT { ?s <http://p/made> ?u } WHERE {
+        ?s <http://p/n> ?o . BIND(IRI(CONCAT("http://x/", ?o)) AS ?u) }""")
+    row = out.first()
+    assert row["obj_kind"] == "iri" and row["obj_lexical"] == "http://x/hola"
+    # a constructor nested in a larger expression contributes its VALUE
+    # (kind metadata only attaches for top-level BIND constructors)
+    df2 = query(g, """SELECT ?y WHERE {
+        ?s <http://p/n> ?o .
+        BIND(CONCAT(STR(IRI(?o)), "!") AS ?y) }""")
+    assert df2.first()["y"] == "hola!"
+
+
 def test_nondeterministic_functions_rejected(spark, graph):
     for fn in ("NOW()", "RAND()", "UUID()", "STRUUID()"):
         with pytest.raises(SparqlError, match="non-deterministic"):

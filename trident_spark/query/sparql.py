@@ -517,7 +517,7 @@ _FILTER_FUNCS = {
 _MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
                 "ENCODE_FOR_URI", "REGEX", "SHA256", "SHA384", "SHA512",
                 "ISNUMERIC", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-                "SECONDS", "TZ")
+                "SECONDS", "TZ", "IRI", "URI", "STRLANG", "STRDT")
 
 # non-deterministic SPARQL builtins: a distributed engine re-evaluating
 # them per partition/retry cannot give the single-evaluation semantics
@@ -529,6 +529,37 @@ _NONDET_FUNCS = ("NOW", "RAND", "UUID", "STRUUID", "BNODE")
 # parser divergence); group k = YEAR..SECONDS below
 _XSD_DT_RE = ("'^(-?\\\\d{4,})-(\\\\d{2})-(\\\\d{2})T"
               "(\\\\d{2}):(\\\\d{2}):(\\\\d{2}(?:\\\\.\\\\d+)?)'")
+
+
+def _term_constructor_bind(toks: list[str], prefixes: dict[str, str]
+                           ) -> tuple[list[str], str, str | None,
+                                      str | None] | None:
+    """A BIND expression that IS a typed-term constructor —
+    ``STRLANG(e, "tag")`` / ``STRDT(e, <dt>)`` / ``IRI(e)`` / ``URI(e)``
+    at top level — returns (value_tokens, kind, lang, datatype) so the
+    bind attaches hidden metadata columns; None for ordinary expressions
+    (which stay plain literals, the SPARQL default)."""
+    if not toks or toks[0].upper() not in ("STRLANG", "STRDT", "IRI", "URI"):
+        return None
+    name = toks[0].upper()
+    args, j = _parse_call_args(toks, 1)
+    if j != len(toks):
+        return None  # constructor nested inside a larger expression
+    if name in ("IRI", "URI"):
+        if len(args) != 1:
+            raise SparqlError(f"{name} takes one argument")
+        return args[0], "iri", None, None
+    if len(args) != 2 or len(args[1]) != 1:
+        raise SparqlError(f"{name} takes (expression, constant)")
+    tag = args[1][0]
+    if name == "STRLANG":
+        if not tag.startswith('"'):
+            raise SparqlError("STRLANG language tag must be a string "
+                              "literal")
+        return args[0], "literal", _term_value(tag, prefixes), None
+    if tag.startswith('"') or tag.startswith("?"):
+        raise SparqlError("STRDT datatype must be an IRI")
+    return args[0], "literal", None, _expand(tag, prefixes)
 
 
 def _parse_call_args(toks: list[str], i: int) -> tuple[list[list[str]], int]:
@@ -593,6 +624,12 @@ def _expand_macro(name: str, args: list[list[str]],
         return (f"(CASE WHEN {rng} = '*' THEN {tag} <> '' "
                 f"ELSE lower({tag}) = lower({rng}) "
                 f"OR startswith(lower({tag}), lower({rng}) || '-') END)")
+    if name in ("IRI", "URI") and len(sql) == 1:
+        # nested in a larger expression: the VALUE is the string itself
+        # (kind metadata only attaches for top-level BIND constructors)
+        return sql[0]
+    if name in ("STRLANG", "STRDT") and len(sql) == 2:
+        return sql[0]
     if name in ("SHA256", "SHA384", "SHA512") and len(sql) == 1:
         return f"sha2({sql[0]}, {name[3:]})"
     if name == "ISNUMERIC" and len(sql) == 1:
@@ -1442,8 +1479,24 @@ def _compile_group(triples: DataFrame, group: _Group,
             expr_toks, alias = el[1], el[2]
             if alias in bound:
                 raise SparqlError(f"BIND reassigns bound variable ?{alias}")
-            plan = plan.withColumn(
-                alias, F.expr(_filter_sql(expr_toks, set(plan.columns))))
+            ctor = _term_constructor_bind(expr_toks, prefixes)
+            if ctor is not None:
+                # STRLANG/STRDT/IRI build a TYPED term: the value column
+                # plus hidden _kind_/_lang_/_dt_ metadata, so LANG()/
+                # DATATYPE()/isIRI and CONSTRUCT kinds see the real type
+                value_toks, kind, lang, dt = ctor
+                cols = set(plan.columns)
+                plan = (
+                    plan.withColumn(alias,
+                                    F.expr(_filter_sql(value_toks, cols)))
+                    .withColumn(f"_kind_{alias}", F.lit(kind))
+                    .withColumn(f"_lang_{alias}",
+                                F.lit(lang).cast("string"))
+                    .withColumn(f"_dt_{alias}", F.lit(dt).cast("string"))
+                )
+            else:
+                plan = plan.withColumn(
+                    alias, F.expr(_filter_sql(expr_toks, set(plan.columns))))
             bound = bound | {alias}
             continue
         elif el[0] == "minus":
