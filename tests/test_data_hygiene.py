@@ -93,3 +93,22 @@ def test_normalize_text(spark):
     assert out[3]["text"] == "bell and null controls"
     assert out[4]["text"] == "already clean"
     assert out[4]["was_changed"] is False
+
+
+def test_pii_report_single_scan(spark):
+    """pii_report = pii_signals + redact_pii fused into ONE projection:
+    identical counts/redaction, and the plan contains no Join node."""
+    rows = [(1, "write alice@example.com, ssn 123-45-6789, ip 10.0.0.1"),
+            (2, "clean text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = pii.pii_report(df)
+    out = {r["id"]: r for r in rep.collect()}
+    sig = {r["id"]: r for r in pii.pii_signals(df).collect()}
+    red = {r["id"]: r for r in pii.redact_pii(df).collect()}
+    for i in (1, 2):
+        assert out[i]["n_pii_total"] == sig[i]["n_pii_total"]
+        assert out[i]["n_email"] == sig[i]["n_email"]
+        assert out[i]["redacted"] == red[i]["text"]
+        assert out[i]["was_redacted"] == red[i]["was_redacted"]
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan

@@ -1860,3 +1860,46 @@ def test_malformed_queries_raise_sparql_error(spark, graph):
                 "SELECT ?s WHERE { ?s ?p ?o } LIMIT abc"]:
         with pytest.raises(SparqlError):
             query(graph, bad)
+
+
+def test_numeric_datetime_builtins_error_semantics(spark):
+    """SPARQL expression errors are PER-ROW (the variable stays unbound),
+    never whole-query aborts: ROUND/CEIL/FLOOR/ABS over a non-numeric
+    lexical and YEAR(...) over prose must yield NULL under Spark 4 ANSI
+    mode, not raise (r4: try_cast / nullif hardening)."""
+    rows = [("http://x/a", "http://p/v", "hello", "literal", None, None),
+            ("http://x/b", "http://p/v", "-2.5", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?s ?r ?c ?f ?ab ?y WHERE {
+        ?s <http://p/v> ?o .
+        BIND(ROUND(?o) AS ?r) BIND(CEIL(?o) AS ?c)
+        BIND(FLOOR(?o) AS ?f) BIND(ABS(?o) AS ?ab)
+        BIND(YEAR(?o) AS ?y) } ORDER BY ?s""")
+    a, b = df.collect()
+    assert (a["r"], a["c"], a["f"], a["ab"], a["y"]) == (None,) * 5
+    assert (float(b["r"]), float(b["c"]), float(b["f"]),
+            float(b["ab"])) == (-2.0, -2.0, -3.0, 2.5)
+    assert b["y"] is None
+
+
+def test_term_constructor_over_unbound_stays_unbound(spark):
+    """IRI/STRLANG over an UNBOUND argument is a SPARQL expression error:
+    the bound variable must stay unbound — including its hidden kind
+    metadata, so isIRI/LANG/BOUND see NULL, not a phantom typed term."""
+    rows = [("http://x/a", "http://p/n", "hola", "literal", None, None),
+            ("http://x/b", "http://p/n", "adios", "literal", None, None),
+            ("http://x/a", "http://p/m", "tag", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?s ?isi ?l ?b WHERE {
+        ?s <http://p/n> ?o .
+        OPTIONAL { ?s <http://p/m> ?m }
+        BIND(IRI(CONCAT("http://t/", ?m)) AS ?u)
+        BIND(STRLANG(?m, "es") AS ?t)
+        BIND(isIRI(?u) AS ?isi) BIND(LANG(?t) AS ?l)
+        BIND(BOUND(?u) AS ?b) } ORDER BY ?s""")
+    a, b = df.collect()
+    assert a["s"] == "http://x/a"
+    assert a["isi"] is True and a["l"] == "es" and a["b"] is True
+    # x/b has no <m>: constructor args unbound -> everything unbound
+    assert b["isi"] is None and b["b"] is False
+    assert b["l"] in (None, "")  # LANG of unbound = expression error

@@ -30,21 +30,14 @@ def _gram_hashes(frame: DataFrame, id_out: str, text_col: str,
 
     Hash = first 16 hex chars of md5 of the space-joined gram —
     reproducible bit-for-bit in any SQL engine (DuckDB mirror:
-    ``('0x' || substr(md5(gram), 1, 16))::UBIGINT``); guards short docs
-    (< n tokens yield no grams — Spark ``sequence(1, k)`` counts DOWN
-    for k < 1, CLAUDE.md rule 13)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array())
+    ``('0x' || substr(md5(gram), 1, 16))::UBIGINT``); the shared
+    ``util.word_ngrams_col`` carries the rule-13 short-doc guard."""
+    from trident_spark.util import word_ngrams_col
+
     return (
         frame.select(F.col(id_col).alias(id_out),
-                     F.explode(F.array_distinct(grams)).alias("gram"))
+                     F.explode(F.array_distinct(
+                         word_ngrams_col(text_col, n))).alias("gram"))
         .select(
             id_out,
             F.conv(F.substring(F.md5("gram"), 1, 16), 16, 10)

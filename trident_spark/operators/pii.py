@@ -58,6 +58,29 @@ def pii_signals(docs: DataFrame, text_col: str = "text",
     return out.withColumn("n_pii_total", total)
 
 
+def pii_report(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Counts AND redaction in ONE narrow projection (no join, no second
+    scan): (id, n_<category>..., n_pii_total, redacted, was_redacted)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(token))
+    out = docs.select(
+        F.col(id_col).alias("id"), *counts,
+        red.alias("redacted"),
+        (red != F.col(text_col)).alias("was_redacted"),
+    )
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total)
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, text) with every detected span replaced by its category token

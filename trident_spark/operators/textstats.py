@@ -476,7 +476,9 @@ def normalize_text(docs: DataFrame, text_col: str = "text",
     col = F.regexp_replace(col, "[ \t]+", " ")
     col = F.regexp_replace(col, "\n{3,}", "\n\n")
     col = _nfc(F.trim(col))
-    return docs.select(
+    from trident_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         col.alias("text"),
         (col != F.col(text_col)).alias("was_changed"),

@@ -497,7 +497,6 @@ _FILTER_FUNCS = {
     "CONTAINS": "contains",
     "UCASE": "upper",
     "LCASE": "lower",
-    "ABS": "abs",
     "STR": "string",
     "CONCAT": "concat",
     "SUBSTR": "substr",
@@ -506,9 +505,6 @@ _FILTER_FUNCS = {
     "IF": "if",
     "MD5": "md5",
     "SHA1": "sha1",
-    "ROUND": "round",
-    "CEIL": "ceil",
-    "FLOOR": "floor",
 }
 
 
@@ -517,7 +513,8 @@ _FILTER_FUNCS = {
 _MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
                 "ENCODE_FOR_URI", "REGEX", "SHA256", "SHA384", "SHA512",
                 "ISNUMERIC", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-                "SECONDS", "TZ", "IRI", "URI", "STRLANG", "STRDT")
+                "SECONDS", "TZ", "IRI", "URI", "STRLANG", "STRDT",
+                "ROUND", "CEIL", "FLOOR", "ABS")
 
 # non-deterministic SPARQL builtins: a distributed engine re-evaluating
 # them per partition/retry cannot give the single-evaluation semantics
@@ -630,6 +627,16 @@ def _expand_macro(name: str, args: list[list[str]],
         return sql[0]
     if name in ("STRLANG", "STRDT") and len(sql) == 2:
         return sql[0]
+    if name in ("ROUND", "CEIL", "FLOOR", "ABS") and len(sql) == 1:
+        # numeric builtins over LEXICAL values: try_cast keeps the SPARQL
+        # per-row expression-error semantics (NULL = unbound) where an
+        # ANSI implicit cast of a non-numeric literal aborts the query.
+        # ROUND is XPath fn:round — ties go toward +inf (round(-2.5) =
+        # -2), not Spark's HALF_UP — so compile it as floor(x + 0.5).
+        arg = f"try_cast({sql[0]} AS DOUBLE)"
+        if name == "ROUND":
+            return f"floor({arg} + 0.5d)"
+        return f"{name.lower()}({arg})"
     if name in ("SHA256", "SHA384", "SHA512") and len(sql) == 1:
         return f"sha2({sql[0]}, {name[3:]})"
     if name == "ISNUMERIC" and len(sql) == 1:
@@ -642,7 +649,10 @@ def _expand_macro(name: str, args: list[list[str]],
                 "SECONDS") and len(sql) == 1:
         g = {"YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4, "MINUTES": 5,
              "SECONDS": 6}[name]
-        expr = f"regexp_extract({sql[0]}, {_XSD_DT_RE}, {g})"
+        # non-dateTime lexicals: regexp_extract yields '' — NULLIF keeps
+        # the SPARQL per-row expression-error semantics (unbound), where
+        # an ANSI CAST('') would abort the whole query
+        expr = f"nullif(regexp_extract({sql[0]}, {_XSD_DT_RE}, {g}), '')"
         if name == "SECONDS":  # xsd:decimal incl. the fraction
             return f"CAST({expr} AS DOUBLE)"
         return f"CAST({expr} AS INT)"
@@ -1483,16 +1493,26 @@ def _compile_group(triples: DataFrame, group: _Group,
             if ctor is not None:
                 # STRLANG/STRDT/IRI build a TYPED term: the value column
                 # plus hidden _kind_/_lang_/_dt_ metadata, so LANG()/
-                # DATATYPE()/isIRI and CONSTRUCT kinds see the real type
+                # DATATYPE()/isIRI and CONSTRUCT kinds see the real type.
+                # A NULL value = constructor over an unbound arg = SPARQL
+                # expression error → the variable stays UNBOUND, so the
+                # metadata must be NULL too (isIRI of unbound is not true)
                 value_toks, kind, lang, dt = ctor
                 cols = set(plan.columns)
+                plan = plan.withColumn(
+                    alias, F.expr(_filter_sql(value_toks, cols)))
+                bound_guard = F.col(alias).isNotNull()
                 plan = (
-                    plan.withColumn(alias,
-                                    F.expr(_filter_sql(value_toks, cols)))
-                    .withColumn(f"_kind_{alias}", F.lit(kind))
-                    .withColumn(f"_lang_{alias}",
-                                F.lit(lang).cast("string"))
-                    .withColumn(f"_dt_{alias}", F.lit(dt).cast("string"))
+                    plan.withColumn(
+                        f"_kind_{alias}",
+                        F.when(bound_guard, F.lit(kind)))
+                    .withColumn(
+                        f"_lang_{alias}",
+                        F.when(bound_guard,
+                               F.lit(lang).cast("string")))
+                    .withColumn(
+                        f"_dt_{alias}",
+                        F.when(bound_guard, F.lit(dt).cast("string")))
                 )
             else:
                 plan = plan.withColumn(
