@@ -454,3 +454,72 @@ def test_setup_fast_base_split_matches_slow():
                 f"{rng.choice(paths)}{rng.choice(tails)}")
         ctx = _Ctx(base)
         assert (ctx._fast_prefix, ctx._fast_dir) == slow(base), base
+
+
+def test_jsonld_11_keyword_aliasing():
+    """JSON-LD 1.1 keyword aliasing: a context mapping "id"→"@id" and
+    "type"→"@type" makes bare "id"/"type" keys behave as the keywords
+    (the real ActivityStreams context does exactly this); an explicit
+    keyword present on the same node wins over its alias."""
+    node = {
+        "@context": {"@vocab": SCHEMA, "id": "@id", "type": "@type"},
+        "id": "http://x/e9",
+        "type": "Person",
+        "name": "Alice",
+    }
+    t = _triples(_jsonld(node))
+    assert ("http://x/e9", RDF_TYPE, SCHEMA + "Person", "iri") in t
+    assert ("http://x/e9", SCHEMA + "name", "Alice", "literal") in t
+    # no phantom schema:id / schema:type literal triples
+    assert not [x for x in t if x[1] in (SCHEMA + "id", SCHEMA + "type")]
+    # explicit keyword wins over the aliased key
+    node2 = {
+        "@context": {"@vocab": SCHEMA, "id": "@id"},
+        "@id": "http://x/real",
+        "id": "http://x/shadowed",
+        "name": "Bob",
+    }
+    t2 = _triples(_jsonld(node2))
+    assert ("http://x/real", SCHEMA + "name", "Bob", "literal") in t2
+    assert not [x for x in t2 if x[0] == "http://x/shadowed"]
+
+
+def test_jsonld_activitystreams_vendored_aliases():
+    """The vendored AS2 context carries the real document's id/type
+    aliases, so plain AS2 payloads (which never write @id/@type) extract
+    with proper IRIs and rdf:type."""
+    as2 = "https://www.w3.org/ns/activitystreams#"
+    node = {
+        "@context": "https://www.w3.org/ns/activitystreams",
+        "id": "http://x/note/1",
+        "type": "Note",
+        "attributedTo": "http://x/alice",
+        "content": "Hello world",
+    }
+    t = _triples(_jsonld(node))
+    assert ("http://x/note/1", RDF_TYPE, as2 + "Note", "iri") in t
+    assert ("http://x/note/1", as2 + "attributedTo", "http://x/alice",
+            "iri") in t
+    assert ("http://x/note/1", as2 + "content", "Hello world",
+            "literal") in t
+
+
+def test_jsonld_set_container_and_exact_term_alias():
+    """@set containers flatten like @list sugar (order-free), and an
+    expanded term definition maps its BARE term to the declared @id even
+    without @vocab (JSON-LD term-definition precedence)."""
+    node = {
+        "@context": {
+            "homepage": {"@id": "http://xmlns.com/foaf/0.1/homepage",
+                         "@type": "@id"},
+            "nick": "http://xmlns.com/foaf/0.1/nick",
+        },
+        "@id": "http://x/p",
+        "nick": {"@set": ["ali", "lis"]},
+        "homepage": "http://x/alice",
+    }
+    t = _triples(_jsonld(node))
+    nicks = {o for _, p, o, _ in t if p == "http://xmlns.com/foaf/0.1/nick"}
+    assert nicks == {"ali", "lis"}
+    assert ("http://x/p", "http://xmlns.com/foaf/0.1/homepage",
+            "http://x/alice", "iri") in t

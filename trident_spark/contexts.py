@@ -12,8 +12,9 @@ extraction kernel consumes (`@vocab`, prefix mappings, and the
 values).  The schema.org coercion list covers the properties whose
 declared range includes URL — the ones that actually change extraction
 output on real pages.  JSON-LD 1.1 keyword aliasing (``"id": "@id"``)
-is outside the supported subset and such entries are deliberately
-omitted.
+is supported by the kernel (``kernels/extract.py:_unalias``), and the
+AS2 subset declares the same ``id``/``type`` aliases the real
+ActivityStreams context document does.
 """
 
 from __future__ import annotations
@@ -54,6 +55,9 @@ _AS2_ID_COERCED = (
 ACTIVITYSTREAMS_CONTEXT: dict = {
     "@vocab": AS2,
     "as": AS2,
+    # the real AS2 context aliases the 1.1 keywords (w3.org/ns/activitystreams)
+    "id": "@id",
+    "type": "@type",
     **{p: {"@id": AS2 + p, "@type": "@id"} for p in _AS2_ID_COERCED},
 }
 

@@ -494,9 +494,15 @@ class _Ctx:
 
 def _expand_term(term: str, vocab: str | None, prefixes: dict[str, str],
                  ctx: _Ctx) -> str | None:
-    """Expand a JSON-LD/RDFa term: CURIE → IRI, bare term → vocab IRI."""
+    """Expand a JSON-LD/RDFa term: exact term definition → its @id,
+    CURIE → IRI, bare term → vocab IRI (that precedence order is JSON-LD's
+    IRI-expansion algorithm: a matching term definition wins even over a
+    CURIE reading)."""
     if not term or term.startswith("@"):
         return None
+    mapped = prefixes.get(term)
+    if mapped is not None and not mapped.startswith("@"):
+        return ctx.to_iri(mapped)
     if ":" in term:
         pfx, _, local = term.partition(":")
         if pfx in prefixes:
@@ -567,6 +573,26 @@ def _jsonld_context(ctx_value, vocab: str | None, prefixes: dict[str, str],
     return vocab, prefixes, frozenset(coerce)
 
 
+# JSON-LD 1.1 keywords a context may alias ("id": "@id" etc.); @context
+# itself is not aliasable per the spec
+_JSONLD_ALIASABLE = frozenset(
+    ("@id", "@type", "@value", "@language", "@list", "@set", "@graph"))
+
+
+def _unalias(node: dict, prefixes: dict[str, str]) -> dict:
+    """Rewrite JSON-LD 1.1 keyword-aliased keys ("id" → "@id", "type" →
+    "@type", …) to the canonical keyword; an explicit keyword already in
+    the node wins over its alias."""
+    out = None
+    for k in list(node):
+        kw = prefixes.get(k)
+        if kw in _JSONLD_ALIASABLE and kw not in node:
+            if out is None:
+                out = dict(node)
+            out[kw] = out.pop(k)
+    return node if out is None else out
+
+
 def _jsonld_node(node: dict, ctx: _Ctx, vocab, prefixes,
                  out: list[RawTriple],
                  coerce: frozenset[str] = frozenset()) -> tuple[str, str] | None:
@@ -574,6 +600,7 @@ def _jsonld_node(node: dict, ctx: _Ctx, vocab, prefixes,
     if "@context" in node:
         vocab, prefixes, coerce = _jsonld_context(node["@context"], vocab,
                                                   prefixes, coerce)
+    node = _unalias(node, prefixes)
 
     if "@value" in node:
         return None  # value object — handled by caller
@@ -618,8 +645,9 @@ def _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out,
                   as_id: bool = False,
                   coerce: frozenset[str] = frozenset()) -> None:
     if isinstance(value, dict):
-        if "@list" in value:
-            for item in _as_list(value["@list"]):
+        value = _unalias(value, prefixes)
+        if "@list" in value or "@set" in value:
+            for item in _as_list(value.get("@list", value.get("@set"))):
                 _jsonld_value(subj, pred, item, ctx, vocab, prefixes, out,
                               as_id, coerce)
             return
