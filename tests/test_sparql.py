@@ -1903,3 +1903,83 @@ def test_term_constructor_over_unbound_stays_unbound(spark):
     # x/b has no <m>: constructor args unbound -> everything unbound
     assert b["isi"] is None and b["b"] is False
     assert b["l"] in (None, "")  # LANG of unbound = expression error
+
+
+def test_nested_graph_rescopes_active_graph(spark, quads):
+    """GRAPH-in-GRAPH (SPARQL §13.3): the inner GRAPH re-scopes the
+    active graph, so constant-in-constant reads the INNER graph, and an
+    outer ?var left unbound by its subgroup still ranges over every
+    named graph (a cross with the name list)."""
+    # constant-in-constant: inner g2 wins
+    df = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?n WHERE {
+            GRAPH <http://g/1> { GRAPH <http://g/2> { ?p schema:name ?n } }
+        }
+    """)
+    assert [r["n"] for r in df.collect()] == ["Bob"]
+    # var-outer, constant inner: ?g crosses ALL named graphs
+    df2 = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?g ?n WHERE {
+            GRAPH ?g { GRAPH <http://g/2> { ?p schema:name ?n } }
+        }
+    """)
+    assert sorted(tuple(r) for r in df2.collect()) == [
+        ("http://g/1", "Bob"), ("http://g/2", "Bob")]
+
+
+def test_nested_graph_var_joins_with_siblings(spark, quads):
+    """An outer GRAPH ?g bound by a SIBLING pattern joins normally with
+    an inner GRAPH ?h scope; same-var nesting collapses to the inner
+    binding."""
+    df = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?g ?h ?n WHERE {
+            GRAPH ?g { ?p schema:worksFor ?o .
+                       GRAPH ?h { ?p schema:name ?n } }
+        }
+    """)
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("http://g/1", "http://g/1", "Alice")]
+    # same var inside and out: must agree (single binding)
+    df2 = query(quads, """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?g ?n WHERE {
+            GRAPH ?g { GRAPH ?g { ?p schema:name ?n } }
+        }
+    """)
+    assert sorted(tuple(r) for r in df2.collect()) == [
+        ("http://g/1", "Alice"), ("http://g/2", "Bob")]
+
+
+def test_nested_graph_path_closure(spark):
+    """Property paths inside GRAPH-in-GRAPH: the inner scope's closure
+    applies (constant inner under var outer = cross with names; var
+    inner under constant outer = per-graph closure)."""
+    qcols = COLS + ", graph string"
+    rows = [
+        ("http://x/a", "http://p/n", "http://x/b", "iri", None, None,
+         "http://g/1"),
+        ("http://x/b", "http://p/n", "http://x/c", "iri", None, None,
+         "http://g/1"),
+        ("http://x/b", "http://p/n", "http://x/d", "iri", None, None,
+         "http://g/2"),
+    ]
+    g = spark.createDataFrame(rows, qcols)
+    df = query(g, """
+        SELECT ?g ?x WHERE {
+            GRAPH ?g { GRAPH <http://g/1> { <http://x/a> <http://p/n>+ ?x } }
+        }
+    """)
+    got = sorted((r["g"], r["x"]) for r in df.collect())
+    assert got == [("http://g/1", "http://x/b"), ("http://g/1", "http://x/c"),
+                   ("http://g/2", "http://x/b"), ("http://g/2", "http://x/c")]
+    df2 = query(g, """
+        SELECT ?h ?x WHERE {
+            GRAPH <http://g/2> { GRAPH ?h { <http://x/a> <http://p/n>+ ?x } }
+        }
+    """)
+    got2 = sorted((r["h"], r["x"]) for r in df2.collect())
+    assert got2 == [("http://g/1", "http://x/b"),
+                    ("http://g/1", "http://x/c")]

@@ -40,7 +40,9 @@ HAVING aggregate expressions must repeat an aggregate already named in the
 SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
 top-level patterns then match the default graph per SPARQL dataset
 semantics); property paths inside ``GRAPH ?var`` compute per-graph
-closures (nested GRAPH scopes are rejected loudly); no federation —
+closures; nested GRAPH re-scopes the active graph per §13.3 (the outer
+graph var crosses the named-graph list when its subgroup leaves it
+unbound); no federation —
 ``SERVICE`` is deliberately out of scope for a single-warehouse engine
 and rejected loudly (a distributed engine calling per-row remote SPARQL
 endpoints is an anti-pattern at any scale; materialize the remote graph
@@ -1468,19 +1470,32 @@ def _compile_group(triples: DataFrame, group: _Group,
                 raise SparqlError(
                     "GRAPH requires a quads input (a 'graph' column)")
             term, sub = el[1], el[2]
+            # a nested GRAPH RE-SCOPES the active graph (SPARQL §13.3):
+            # an enclosing GRAPH ?var is never bound by this subgroup, so
+            # its binding is dropped from the inner scope here; when the
+            # enclosing subgroup ends up not binding its var at all, the
+            # var-branch below crosses with the named-graph list
+            inner_extra = {k: v for k, v in (extra or {}).items()
+                           if k != "graph"}
             if term.startswith("?"):
-                if extra and "graph" in extra:
-                    raise SparqlError(
-                        "nested GRAPH ?var scopes are not supported")
+                gv = term[1:]
                 frame = quads.where(F.col("graph").isNotNull())
-                sub_extra = {**(extra or {}), "graph": term[1:]}
+                sub_extra = {**inner_extra, "graph": gv}
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
                                              sub_extra)
+                if gv not in vars_:
+                    # subgroup held only nested GRAPH scopes: ?gv still
+                    # ranges over every named graph (a genuine cross —
+                    # the name list is small by construction)
+                    names = (quads.where(F.col("graph").isNotNull())
+                             .select(F.col("graph").alias(gv)).distinct())
+                    scan = scan.crossJoin(names)
+                    vars_ = vars_ | {gv}
             else:
                 frame = quads.where(
                     F.col("graph") == _expand(term, prefixes))
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
-                                             extra)
+                                             inner_extra)
             how = "inner"
         elif el[0] == "bind":
             # BIND applies to the solutions built so far, in sequence
