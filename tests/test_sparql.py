@@ -1983,3 +1983,48 @@ def test_nested_graph_path_closure(spark):
     got2 = sorted((r["h"], r["x"]) for r in df2.collect())
     assert got2 == [("http://g/1", "http://x/b"),
                     ("http://g/1", "http://x/c")]
+
+
+def test_minus_exists_with_undef_nullable_vars(spark):
+    """UNDEF-nullable variables reaching MINUS / EXISTS / NOT EXISTS use
+    §10.2 compatibility (NULL matches anything; MINUS also needs the
+    §8.3 domain overlap) instead of SQL equality, which would silently
+    keep/drop the unbound rows wrongly."""
+    rows = [
+        ("http://x/a", "http://p/t", "http://T/1", "iri", None, None),
+        ("http://x/b", "http://p/t", "http://T/2", "iri", None, None),
+        ("http://x/a", "http://p/q", "x", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    # MINUS: the (a, UNDEF) row IS compatible with the right row
+    # {s:a, m:"x"} (m unbound left, s overlaps) -> removed
+    df = query(g, """
+        SELECT ?s ?m WHERE {
+            ?s <http://p/t> ?t .
+            VALUES ?m { "x" UNDEF }
+            MINUS { ?s <http://p/q> ?m }
+        }
+    """)
+    got = {(r["s"], r["m"]) for r in df.collect()}
+    assert got == {("http://x/b", "x"), ("http://x/b", None)}
+    # EXISTS: unbound ?m constrains nothing -> (a, UNDEF) passes
+    df2 = query(g, """
+        SELECT ?s ?m WHERE {
+            ?s <http://p/t> ?t .
+            VALUES ?m { "x" "y" UNDEF }
+            FILTER EXISTS { ?s <http://p/q> ?m }
+        }
+    """)
+    got2 = {(r["s"], r["m"]) for r in df2.collect()}
+    assert got2 == {("http://x/a", "x"), ("http://x/a", None)}
+    # NOT EXISTS: exact complement of the EXISTS rows
+    df3 = query(g, """
+        SELECT ?s ?m WHERE {
+            ?s <http://p/t> ?t .
+            VALUES ?m { "x" "y" UNDEF }
+            FILTER NOT EXISTS { ?s <http://p/q> ?m }
+        }
+    """)
+    got3 = {(r["s"], r["m"]) for r in df3.collect()}
+    assert got3 == {("http://x/a", "y"), ("http://x/b", "x"),
+                    ("http://x/b", "y"), ("http://x/b", None)}

@@ -30,12 +30,14 @@ local relation; FILTER a Spark SQL expression; aggregates a
 ``groupBy().agg()``; CONSTRUCT a per-template-triple projection union with
 term kinds recovered by joining the graph's term dictionary.
 
-Simplifications vs full SPARQL 1.1 (documented, not silent): unbound (null)
-variables never join-match later patterns (SQL null semantics, not SPARQL
-compatibility — this also makes MINUS exact only when the shared variables
-are bound on both sides, the overwhelmingly common case); VALUES UNDEF
-cells compile to NULL rows joined via §10.2 compatibility (broadcast
-theta join); SUM/AVG cast the lexical form to double;
+Simplifications vs full SPARQL 1.1 (documented, not silent): OPTIONAL-
+produced unbound (null) variables never join-match later patterns (SQL
+null semantics, not SPARQL compatibility — the overwhelmingly common
+reading); VALUES UNDEF cells compile to NULL rows joined via §10.2
+compatibility (broadcast theta join), and MINUS / EXISTS / NOT EXISTS
+switch to the same compatibility condition (MINUS also requiring the
+§8.3 domain overlap) whenever an UNDEF-nullable variable is among the
+shared keys; SUM/AVG cast the lexical form to double;
 HAVING aggregate expressions must repeat an aggregate already named in the
 SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
 top-level patterns then match the default graph per SPARQL dataset
@@ -1548,7 +1550,26 @@ def _compile_group(triples: DataFrame, group: _Group,
             right, rv = _compile_group(triples, el[1], prefixes, quads,
                                        extra, needed=set(bound))
             keys = sorted(bound & rv)
-            if keys:
+            null_keys = {k for k in keys if k in nullable}
+            if keys and null_keys:
+                # UNDEF-nullable keys on the left: exact §8.3 MINUS —
+                # remove rows with a COMPATIBLE right row (NULL on either
+                # side matches) whose domains overlap (≥1 var bound on
+                # both sides).  Theta join over the distinct key tuples:
+                # only UNDEF-carrying queries (small VALUES-driven key
+                # sets) take this path, equi-anti-join otherwise.
+                ren = {k: f"_mn_{k}" for k in keys}
+                right2 = right.select(
+                    [F.col(k).alias(ren[k]) for k in keys]).distinct()
+                compat, overlap = None, None
+                for k in keys:
+                    c = F.col(k) == F.col(ren[k])
+                    c = F.col(k).isNull() | F.col(ren[k]).isNull() | c
+                    compat = c if compat is None else compat & c
+                    o = F.col(k).isNotNull() & F.col(ren[k]).isNotNull()
+                    overlap = o if overlap is None else overlap | o
+                plan = plan.join(right2, compat & overlap, "left_anti")
+            elif keys:
                 plan = plan.join(right.select(*keys).distinct(),
                                  keys, "left_anti")
             continue
@@ -1659,7 +1680,22 @@ def _compile_group(triples: DataFrame, group: _Group,
                                             extra, needed=set(bound))
         keys = sorted(bound & sub_vars)
         how = "left_semi" if positive else "left_anti"
-        if keys:
+        null_keys = {k for k in keys if k in nullable}
+        if keys and null_keys:
+            # UNDEF-nullable keys: substitute-then-evaluate semantics —
+            # an unbound outer var constrains nothing, so compatibility
+            # (NULL on either side matches) replaces equality.  Same
+            # theta-join scale note as the MINUS branch above.
+            ren = {k: f"_ex_{k}" for k in keys}
+            sub2 = sub_plan.select(
+                [F.col(k).alias(ren[k]) for k in keys]).distinct()
+            compat = None
+            for k in keys:
+                c = F.col(k) == F.col(ren[k])
+                c = F.col(k).isNull() | F.col(ren[k]).isNull() | c
+                compat = c if compat is None else compat & c
+            plan = plan.join(sub2, compat, how)
+        elif keys:
             plan = plan.join(sub_plan.select(*keys).distinct(), keys, how)
         else:
             # uncorrelated: gate on whether the inner group has any row
