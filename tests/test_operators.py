@@ -696,3 +696,25 @@ def test_minhash_lsh_hub_bucket_bounded(spark):
     assert len(pairs) == 9999
     assert all(r["a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
     assert {r["b"] for r in pairs} == set(range(1, 10000))
+
+
+def test_canonical_urls_strict_idna(spark):
+    """canonical_urls(strict_idna=True) flags hosts violating the strict
+    IDNA2008/UTS-46 lookup profile while keeping normalization lenient
+    (both rows still canonicalize)."""
+    from trident_spark.operators.urls import canonical_urls
+
+    rows = [(1, "http://Example.COM/a?utm_source=x"),
+            (2, "http://ex_ample.com/b"),
+            (3, "not a url at all ://"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r for r in
+           canonical_urls(df, strict_idna=True).collect()}
+    assert out[1]["canonical_url"] == "http://example.com/a"
+    assert out[1]["host_idna_error"] is None
+    assert out[2]["canonical_url"] == "http://ex_ample.com/b"
+    assert "non-LDH" in out[2]["host_idna_error"]
+    assert out[3]["canonical_url"] is None
+    assert out[3]["host_idna_error"] is None
+    assert out[4]["host_idna_error"] is None

@@ -70,10 +70,32 @@ def _canon_udf(urls: pd.Series) -> pd.Series:
     return urls.map(one)
 
 
-def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def canonical_urls(df: DataFrame, url_col: str = "url",
+                   strict_idna: bool = False) -> DataFrame:
     """Add ``canonical_url`` (NULL for unparseable urls — never dropped;
-    route on IS NULL for the quarantine side)."""
-    return df.withColumn("canonical_url", _canon_udf(F.col(url_col)))
+    route on IS NULL for the quarantine side).
+
+    ``strict_idna``: also add ``host_idna_error`` — NULL, or the strict
+    IDNA2008/UTS-46 lookup-profile violation of the canonical host
+    (kernel ``validate_host_strict``; normalization itself stays
+    lenient like the reference).  Spoofed/unregistrable IDN hosts are a
+    common junk signal in crawl data; filter or weight on it."""
+    out = df.withColumn("canonical_url", _canon_udf(F.col(url_col)))
+    if strict_idna:
+        from trident_spark.functions.iri_funcs import host_strict_error
+
+        # NOT parse_url: java.net hands back NULL for exactly the
+        # malformed hosts this flag exists to catch (e.g. underscores).
+        # The canonical form has a lowercase scheme, so a narrow regex
+        # lifts the host (skipping userinfo, keeping IP brackets).
+        host = F.nullif(
+            F.regexp_extract(
+                F.col("canonical_url"),
+                r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]*)",
+                1),
+            F.lit(""))
+        out = out.withColumn("host_idna_error", host_strict_error(host))
+    return out
 
 
 def dedup_by_url(df: DataFrame, url_col: str = "url",
