@@ -2028,3 +2028,35 @@ def test_minus_exists_with_undef_nullable_vars(spark):
     got3 = {(r["s"], r["m"]) for r in df3.collect()}
     assert got3 == {("http://x/a", "y"), ("http://x/b", "x"),
                     ("http://x/b", "y"), ("http://x/b", None)}
+
+
+def test_filter_never_bound_variable_is_unbound(spark):
+    """Referencing a variable the group never binds is an UNBOUND
+    reference (NULL / expression error per §17.2), not an analysis
+    crash: COALESCE falls through, BOUND is false, a bare comparison
+    errors to false — and IN / NOT IN lists work on bound vars."""
+    rows = [("http://x/a", "http://p/t", "one", "literal", None, None),
+            ("http://x/b", "http://p/t", "two", "literal", None, None),
+            ("http://x/c", "http://p/t", "three", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, 'SELECT ?s WHERE { ?s <http://p/t> ?o . '
+                  'FILTER(COALESCE(?zzz, ?o) = "one") }')
+    assert [r["s"] for r in df.collect()] == ["http://x/a"]
+    df2 = query(g, 'SELECT ?s WHERE { ?s <http://p/t> ?o . '
+                   'FILTER(!BOUND(?zzz)) }')
+    assert df2.count() == 3
+    df3 = query(g, 'SELECT ?s WHERE { ?s <http://p/t> ?o . '
+                   'FILTER(?zzz = "one") }')
+    assert df3.count() == 0
+    df4 = query(g, 'SELECT ?s WHERE { ?s <http://p/t> ?o . '
+                   'FILTER(?o IN ("one", "two")) }')
+    assert sorted(r["s"] for r in df4.collect()) == [
+        "http://x/a", "http://x/b"]
+    df5 = query(g, 'SELECT ?s WHERE { ?s <http://p/t> ?o . '
+                   'FILTER(?o NOT IN ("one")) }')
+    assert sorted(r["s"] for r in df5.collect()) == [
+        "http://x/b", "http://x/c"]
+    # BIND over a never-bound var: the alias stays unbound
+    df6 = query(g, 'SELECT ?s ?b WHERE { ?s <http://p/t> ?o . '
+                   'BIND(UCASE(?zzz) AS ?b) } ORDER BY ?s')
+    assert [r["b"] for r in df6.collect()] == [None, None, None]

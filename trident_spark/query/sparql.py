@@ -689,7 +689,13 @@ def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
         t = toks[i]
         up = t.upper()
         if t.startswith("?"):
-            out.append(f"`{t[1:]}`")
+            # a variable the group never binds is UNBOUND: references
+            # evaluate to NULL (expression error), not an analysis crash
+            # — COALESCE(?never, ?x) must fall through to ?x
+            if cols is not None and t[1:] not in cols:
+                out.append("CAST(NULL AS STRING)")
+            else:
+                out.append(f"`{t[1:]}`")
         elif t.startswith('"'):
             out.append(_sql_str(t))
         elif up in _MACRO_FUNCS:
@@ -707,7 +713,10 @@ def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
             var = toks[i + 2]
             if not var.startswith("?"):
                 raise SparqlError("BOUND takes one variable")
-            out.append(f"(`{var[1:]}` IS NOT NULL)")
+            if cols is not None and var[1:] not in cols:
+                out.append("false")  # never-bound variable
+            else:
+                out.append(f"(`{var[1:]}` IS NOT NULL)")
             i += 4
             continue
         elif up in ("LANG", "DATATYPE"):
