@@ -523,3 +523,14 @@ def test_jsonld_set_container_and_exact_term_alias():
     assert nicks == {"ali", "lis"}
     assert ("http://x/p", "http://xmlns.com/foaf/0.1/homepage",
             "http://x/alice", "iri") in t
+
+
+def test_rdfa_bare_token_matching_prefix_name_uses_vocab():
+    """(review r4) RDFa resolves bare @property/@typeof tokens via
+    @vocab, never via prefix mappings: a token equal to a declared
+    prefix name must expand to vocab+token, not the namespace IRI."""
+    html = ('<div prefix="og: http://ogp.me/ns#" vocab="https://schema.org/">'
+            '<span about="http://x/e" property="og">v</span></div>')
+    t = _triples(html)
+    assert ("http://x/e", SCHEMA + "og", "v", "literal") in t
+    assert not [x for x in t if x[1] == "http://ogp.me/ns#"]

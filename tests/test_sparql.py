@@ -2060,3 +2060,66 @@ def test_filter_never_bound_variable_is_unbound(spark):
     df6 = query(g, 'SELECT ?s ?b WHERE { ?s <http://p/t> ?o . '
                    'BIND(UCASE(?zzz) AS ?b) } ORDER BY ?s')
     assert [r["b"] for r in df6.collect()] == [None, None, None]
+
+
+def test_exists_optional_filters_see_outer_scope(spark):
+    """Substitution semantics (review r4): a FILTER inside EXISTS /
+    NOT EXISTS / OPTIONAL referencing variables bound only in the
+    enclosing group correlates the join; the MINUS right side must NOT
+    see outer bindings (§8.3 — the famous MINUS vs NOT-EXISTS split);
+    a UNION branch doing it raises loudly."""
+    rows = [("http://x/a", "http://p/v", "one", "literal", None, None),
+            ("http://x/b", "http://p/v", "two", "literal", None, None),
+            ("http://x/t", "http://p/w", "one", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        FILTER EXISTS { ?t <http://p/w> ?w . FILTER(?w = ?o) } }""")
+    assert [r["s"] for r in df.collect()] == ["http://x/a"]
+    df2 = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        FILTER NOT EXISTS { ?t <http://p/w> ?w . FILTER(?w = ?o) } }""")
+    assert [r["s"] for r in df2.collect()] == ["http://x/b"]
+    df3 = query(g, """SELECT ?s ?w WHERE { ?s <http://p/v> ?o .
+        OPTIONAL { ?t <http://p/w> ?w . FILTER(?w = ?o) } } ORDER BY ?s""")
+    assert [(r["s"], r["w"]) for r in df3.collect()] == [
+        ("http://x/a", "one"), ("http://x/b", None)]
+    # MINUS right side: ?o unbound there -> filter error -> removes nothing
+    df4 = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        MINUS { ?t <http://p/w> ?w . FILTER(?w = ?o) } }""")
+    assert sorted(r["s"] for r in df4.collect()) == [
+        "http://x/a", "http://x/b"]
+    with pytest.raises(SparqlError, match="enclosing-group"):
+        query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+            { ?t <http://p/w> ?w . FILTER(?w = ?o) }
+            UNION { ?t <http://p/w> ?w } }""")
+
+
+def test_undef_nullability_crosses_subgroup_boundaries(spark):
+    """(review r4) UNDEF-produced NULLs keep §10.2 compatibility when
+    they arrive FROM a subgroup: a nested group opening with VALUES
+    UNDEF, and an UNDEF row on the MINUS right side."""
+    rows = [("http://x/a", "http://p/t", "T1", "literal", None, None),
+            ("http://x/a", "http://p/q", "x", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    # right-side UNDEF: {m:"x"} is §8.3-compatible with (a, x) -> removed
+    df = query(g, """SELECT ?s ?m WHERE { ?s <http://p/t> ?t .
+        ?s <http://p/q> ?m . MINUS { VALUES (?s ?m) { (UNDEF "x") } } }""")
+    assert df.count() == 0
+    # nested group's UNDEF ?s compat-joins the following pattern
+    df2 = query(g, """SELECT ?s ?m WHERE {
+        { VALUES (?s ?m) { (UNDEF "x") } } ?s <http://p/q> ?m . }""")
+    assert [(r["s"], r["m"]) for r in df2.collect()] == [
+        ("http://x/a", "x")]
+    # UNDEF inside EXISTS right side: compat keeps the match
+    df3 = query(g, """SELECT ?s WHERE { ?s <http://p/q> ?m .
+        FILTER EXISTS { VALUES (?s ?m) { (UNDEF "x") } } }""")
+    assert [r["s"] for r in df3.collect()] == ["http://x/a"]
+
+
+def test_empty_constructor_args_raise_sparql_error(spark, graph):
+    """(review r4) IRI()/SHA256() with empty parentheses must raise
+    SparqlError, not leak a Spark ParseException."""
+    for bad in ["SELECT ?s WHERE { ?s ?p ?o . BIND(IRI() AS ?x) }",
+                "SELECT ?s WHERE { ?s ?p ?o . BIND(STRLANG() AS ?x) }",
+                "SELECT ?s WHERE { ?s ?p ?o . FILTER(SHA256() = \"z\") }"]:
+        with pytest.raises(SparqlError):
+            query(graph, bad)

@@ -493,16 +493,20 @@ class _Ctx:
 
 
 def _expand_term(term: str, vocab: str | None, prefixes: dict[str, str],
-                 ctx: _Ctx) -> str | None:
+                 ctx: _Ctx, term_defs: bool = True) -> str | None:
     """Expand a JSON-LD/RDFa term: exact term definition → its @id,
     CURIE → IRI, bare term → vocab IRI (that precedence order is JSON-LD's
     IRI-expansion algorithm: a matching term definition wins even over a
-    CURIE reading)."""
+    CURIE reading).  ``term_defs=False`` for RDFa callers: RDFa resolves
+    bare tokens via vocab, never via prefix mappings — a @property token
+    that happens to equal a declared prefix name must not expand to the
+    namespace IRI."""
     if not term or term.startswith("@"):
         return None
-    mapped = prefixes.get(term)
-    if mapped is not None and not mapped.startswith("@"):
-        return ctx.to_iri(mapped)
+    if term_defs:
+        mapped = prefixes.get(term)
+        if mapped is not None and not mapped.startswith("@"):
+            return ctx.to_iri(mapped)
     if ":" in term:
         pfx, _, local = term.partition(":")
         if pfx in prefixes:
@@ -763,7 +767,7 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
 
     if typeof and new_subj is not None:
         for t in typeof.split():
-            t_iri = _expand_term(t, vocab, prefixes, ctx)
+            t_iri = _expand_term(t, vocab, prefixes, ctx, term_defs=False)
             if t_iri:
                 out.append(RawTriple(new_subj, RDF_TYPE, t_iri, "iri", None, None, "rdfa"))
 
@@ -772,7 +776,7 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
     prop_subj = new_subj if "about" in a else subj
     if prop and prop_subj is not None:
         for p in prop.split():
-            pred = _expand_term(p, vocab, prefixes, ctx)
+            pred = _expand_term(p, vocab, prefixes, ctx, term_defs=False)
             if pred is None:
                 continue
             if typeof and "about" not in a:
@@ -788,7 +792,8 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
                 lex = content if content is not None else _WS_RE.sub(" ", node.text()).strip()
                 dt = None
                 if a.get("datatype"):
-                    dt = _expand_term(a["datatype"], vocab, prefixes, ctx)
+                    dt = _expand_term(a["datatype"], vocab, prefixes, ctx,
+                                      term_defs=False)
                 lang = a.get("lang") or a.get("xml:lang")
                 out.append(RawTriple(prop_subj, pred, lex, "literal", dt, lang, "rdfa"))
 
@@ -802,11 +807,11 @@ def _rdfa_walk(node: Node, subj: str | None, vocab: str | None,
         rel_subj = new_subj if "about" in a else subj
         if target is not None and rel_subj is not None:
             for r in (a.get("rel") or "").split():
-                p = _expand_term(r, vocab, prefixes, ctx)
+                p = _expand_term(r, vocab, prefixes, ctx, term_defs=False)
                 if p:
                     out.append(RawTriple(rel_subj, p, target, "iri", None, None, "rdfa"))
             for r in (a.get("rev") or "").split():
-                p = _expand_term(r, vocab, prefixes, ctx)
+                p = _expand_term(r, vocab, prefixes, ctx, term_defs=False)
                 if p:
                     out.append(RawTriple(target, p, rel_subj, "iri", None, None, "rdfa"))
 

@@ -19,7 +19,7 @@ downstream policy can threshold each independently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # category → (pattern, replacement token).  Order matters for redaction:
 # more specific digit shapes (cards, SSNs) mask before generic phones.
@@ -42,55 +42,60 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def pii_signals(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Per-document PII counts: (id, n_email, n_credit_card, n_ssn,
-    n_phone, n_ipv4, n_pii_total).  Pure codegen — one narrow pass."""
-    counts = [
+def _count_cols(text_col: str) -> list[Column]:
+    """One n_<category> regexp_count per pattern."""
+    return [
         F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    out = docs.select(F.col(id_col).alias("id"), *counts)
+
+
+def _total_col() -> Column:
+    """Sum of the n_<category> columns built by _count_cols."""
     total = None
     for name, _, _ in PII_PATTERNS:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
-    return out.withColumn("n_pii_total", total)
+    return total
+
+
+def _redacted_col(text_col: str) -> Column:
+    """Chained regexp_replace in declaration order (most-specific digit
+    shapes mask first)."""
+    col = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, F.lit(pat), F.lit(token))
+    return col
+
+
+def pii_signals(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII counts: (id, n_email, n_credit_card, n_ssn,
+    n_phone, n_ipv4, n_pii_total).  Pure codegen — one narrow pass."""
+    out = docs.select(F.col(id_col).alias("id"), *_count_cols(text_col))
+    return out.withColumn("n_pii_total", _total_col())
 
 
 def pii_report(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Counts AND redaction in ONE narrow projection (no join, no second
     scan): (id, n_<category>..., n_pii_total, redacted, was_redacted)."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    red = F.col(text_col)
-    for _, pat, token in PII_PATTERNS:
-        red = F.regexp_replace(red, F.lit(pat), F.lit(token))
+    red = _redacted_col(text_col)
     out = docs.select(
-        F.col(id_col).alias("id"), *counts,
+        F.col(id_col).alias("id"), *_count_cols(text_col),
         red.alias("redacted"),
         (red != F.col(text_col)).alias("was_redacted"),
     )
-    total = None
-    for name, _, _ in PII_PATTERNS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
-    return out.withColumn("n_pii_total", total)
+    return out.withColumn("n_pii_total", _total_col())
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, text) with every detected span replaced by its category token
-    — chained ``regexp_replace`` in declaration order, so digit shapes
-    mask most-specific-first.  Returns (id, text, was_redacted)."""
-    col = F.col(text_col)
-    for _, pat, token in PII_PATTERNS:
-        col = F.regexp_replace(col, F.lit(pat), F.lit(token))
+    — see ``_redacted_col`` ordering.  Returns (id, text, was_redacted)."""
+    red = _redacted_col(text_col)
     return docs.select(
         F.col(id_col).alias("id"),
-        col.alias("text"),
-        (col != F.col(text_col)).alias("was_redacted"),
+        red.alias("text"),
+        (red != F.col(text_col)).alias("was_redacted"),
     )

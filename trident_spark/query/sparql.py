@@ -37,7 +37,9 @@ reading); VALUES UNDEF cells compile to NULL rows joined via §10.2
 compatibility (broadcast theta join), and MINUS / EXISTS / NOT EXISTS
 switch to the same compatibility condition (MINUS also requiring the
 §8.3 domain overlap) whenever an UNDEF-nullable variable is among the
-shared keys; SUM/AVG cast the lexical form to double;
+shared keys — nullability is threaded across nested groups, UNION
+branches, GRAPH scopes and the right side of MINUS/EXISTS, but NOT
+through subselect projections; SUM/AVG cast the lexical form to double;
 HAVING aggregate expressions must repeat an aggregate already named in the
 SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
 top-level patterns then match the default graph per SPARQL dataset
@@ -547,10 +549,10 @@ def _term_constructor_bind(toks: list[str], prefixes: dict[str, str]
     if j != len(toks):
         return None  # constructor nested inside a larger expression
     if name in ("IRI", "URI"):
-        if len(args) != 1:
+        if len(args) != 1 or not args[0]:
             raise SparqlError(f"{name} takes one argument")
         return args[0], "iri", None, None
-    if len(args) != 2 or len(args[1]) != 1:
+    if len(args) != 2 or not args[0] or len(args[1]) != 1:
         raise SparqlError(f"{name} takes (expression, constant)")
     tag = args[1][0]
     if name == "STRLANG":
@@ -592,6 +594,11 @@ def _parse_call_args(toks: list[str], i: int) -> tuple[list[list[str]], int]:
 
 def _expand_macro(name: str, args: list[list[str]],
                   cols: set[str] | None) -> str:
+    if any(not a for a in args):
+        # IRI() / SHA256(,) etc.: an empty argument token list would
+        # compile to an empty SQL fragment and surface as a Spark
+        # ParseException instead of this module's loud contract
+        raise SparqlError(f"{name} called with an empty argument")
     sql = [_filter_sql(a, cols) for a in args]
     if name in ("STRBEFORE", "STRAFTER") and len(sql) == 2:
         a, b = sql
@@ -1126,16 +1133,24 @@ def _values_compat_join(plan: DataFrame, bound: set[str], scan: DataFrame,
 
 def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
           vars_: set[str], how: str,
-          nullable: set[str] | None = None) -> tuple[DataFrame, set[str]]:
+          nullable: set[str] | None = None,
+          scan_nullable: set[str] | None = None,
+          deferred: list[list[str]] | None = None
+          ) -> tuple[DataFrame, set[str]]:
     """Join the next group element.  ``nullable`` names plan columns that
-    may hold NULL = unbound (VALUES UNDEF cells): shared keys among them
-    use SPARQL §10.2 compatibility (plan-side NULL matches anything, then
-    COALESCE re-binds) instead of an equi-join that would silently drop
-    the unbound rows.  Inner compatibility joins re-bind the variable
-    (remove it from ``nullable``); left joins keep it nullable."""
+    may hold NULL = unbound (VALUES UNDEF cells), ``scan_nullable`` the
+    same for the incoming element (a subgroup carrying UNDEF): shared
+    keys among them use SPARQL §10.2 compatibility (NULL on the nullable
+    side matches anything, then COALESCE re-binds) instead of an
+    equi-join that would silently drop the unbound rows.  Inner
+    compatibility joins re-bind a key unless BOTH sides can be unbound;
+    left joins keep plan-side nullability; non-key scan vars that may be
+    UNDEF propagate into ``nullable``."""
     keys = sorted(bound & vars_)
-    null_keys = [k for k in keys if nullable and k in nullable]
-    if null_keys:
+    left_null = {k for k in keys if nullable and k in nullable}
+    right_null = {k for k in keys if scan_nullable and k in scan_nullable}
+    null_keys = sorted(left_null | right_null)
+    if null_keys or deferred:
         ren = {v: f"_cj_{v}" for v in keys}
         scan2 = scan
         for v in keys:
@@ -1143,15 +1158,28 @@ def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
         cond = None
         for v in keys:
             c = F.col(v) == F.col(ren[v])
-            if v in null_keys:
+            if v in left_null:
                 c = F.col(v).isNull() | c
+            if v in right_null:
+                c = F.col(ren[v]).isNull() | c
             cond = c if cond is None else cond & c
-        plan = plan.join(scan2, cond, how)
+        # deferred OPTIONAL filters referencing enclosing-scope vars join
+        # the ON condition (SPARQL left-join semantics: condition false /
+        # error keeps the left row unextended).  Scan-side keys were
+        # renamed, so each var resolves unambiguously: keys + outer vars
+        # to the plan side, non-key subgroup vars to the scan side.
+        cols_all = set(plan.columns) | set(scan2.columns)
+        for ftoks in deferred or []:
+            fc = F.expr(_filter_sql(ftoks, cols_all))
+            cond = fc if cond is None else cond & fc
+        plan = plan.join(scan2, cond if cond is not None else F.lit(True),
+                         how)
         for v in keys:
             plan = plan.withColumn(v, F.coalesce(F.col(v), F.col(ren[v])))
         plan = plan.drop(*ren.values())
         if how == "inner" and nullable is not None:
-            nullable -= set(null_keys)  # every surviving row is re-bound
+            nullable -= {k for k in null_keys
+                         if not (k in left_null and k in right_null)}
     elif keys:
         plan = plan.join(scan, keys, how)
     elif how == "left":
@@ -1159,6 +1187,8 @@ def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
                           "preceding patterns")
     else:
         plan = plan.crossJoin(scan)  # genuinely disconnected patterns
+    if nullable is not None and scan_nullable:
+        nullable |= {v for v in scan_nullable if v not in keys}
     return plan, bound | vars_
 
 
@@ -1403,8 +1433,23 @@ def _compile_group(triples: DataFrame, group: _Group,
                    quads: DataFrame | None = None,
                    extra: dict[str, str] | None = None,
                    want_meta: set[str] | None = None,
-                   needed: set[str] | None = None
+                   needed: set[str] | None = None,
+                   out_nullable: set[str] | None = None,
+                   outer_bound: set[str] | None = None,
+                   out_deferred: list[list[str]] | None = None
                    ) -> tuple[DataFrame, set[str]]:
+    """``out_nullable``: mutable set the caller passes to learn which of
+    the returned variables may be NULL = UNDEF-unbound (VALUES UNDEF
+    cells surviving this group) — nullability must cross subgroup
+    boundaries or the caller's joins silently use SQL equality on them.
+
+    ``outer_bound``: variables bound in the ENCLOSING scope.  A filter
+    referencing them but not bound here is DEFERRED via ``out_deferred``
+    (mutable list of token lists) so the caller can evaluate it where
+    those bindings are visible — the substitution semantics EXISTS and
+    OPTIONAL need.  A caller that cannot defer passes
+    ``out_deferred=None`` and such filters raise loudly (the old
+    unresolved-column crash, with a real message)."""
     plan: DataFrame | None = None
     bound: set[str] = set()
     filters: list[list[str]] = []
@@ -1438,7 +1483,14 @@ def _compile_group(triples: DataFrame, group: _Group,
     # cells): subsequent joins on them use §10.2 compatibility (_join)
     nullable: set[str] = set()
 
+    # the scope visible to subgroups: everything bound here so far plus
+    # whatever our own enclosing scope bound
+    def _sub_outer() -> set[str]:
+        return bound | (outer_bound or set())
+
     for idx, el in enumerate(elements):
+        scan_null: set[str] = set()  # UNDEF-nullable vars of THIS element
+        scan_defer: list[list[str]] = []  # outer-referencing sub filters
         if isinstance(el, tuple) and el and el[0] == "bgp_run":
             if needed is None:
                 run_needed = None
@@ -1493,7 +1545,10 @@ def _compile_group(triples: DataFrame, group: _Group,
                 frame = quads.where(F.col("graph").isNotNull())
                 sub_extra = {**inner_extra, "graph": gv}
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
-                                             sub_extra)
+                                             sub_extra,
+                                             out_nullable=scan_null,
+                                             outer_bound=_sub_outer(),
+                                             out_deferred=scan_defer)
                 if gv not in vars_:
                     # subgroup held only nested GRAPH scopes: ?gv still
                     # ranges over every named graph (a genuine cross —
@@ -1506,7 +1561,10 @@ def _compile_group(triples: DataFrame, group: _Group,
                 frame = quads.where(
                     F.col("graph") == _expand(term, prefixes))
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
-                                             inner_extra)
+                                             inner_extra,
+                                             out_nullable=scan_null,
+                                             outer_bound=_sub_outer(),
+                                             out_deferred=scan_defer)
             how = "inner"
         elif el[0] == "bind":
             # BIND applies to the solutions built so far, in sequence
@@ -1556,10 +1614,16 @@ def _compile_group(triples: DataFrame, group: _Group,
             # only variables SHARED with the left side ever matter on the
             # right (they become the anti-join keys) — id-runs inside the
             # subgroup skip decoding everything else
+            # NO outer_bound here: per §8.3 the MINUS right side does NOT
+            # see left bindings, so a filter on an outer var evaluates
+            # with it unbound (NULL) — exactly the famous MINUS vs
+            # NOT-EXISTS divergence
+            r_null: set[str] = set()
             right, rv = _compile_group(triples, el[1], prefixes, quads,
-                                       extra, needed=set(bound))
+                                       extra, needed=set(bound),
+                                       out_nullable=r_null)
             keys = sorted(bound & rv)
-            null_keys = {k for k in keys if k in nullable}
+            null_keys = {k for k in keys if k in nullable or k in r_null}
             if keys and null_keys:
                 # UNDEF-nullable keys on the left: exact §8.3 MINUS —
                 # remove rows with a COMPATIBLE right row (NULL on either
@@ -1618,27 +1682,63 @@ def _compile_group(triples: DataFrame, group: _Group,
                     if other is not el:
                         sub_needed |= _all_vars(other)
             if el[0] == "union":
+                # a deferred filter from ONE branch cannot apply to the
+                # union's merged rows → out_deferred=None makes such
+                # filters raise loudly inside the branch compile
                 left, lv = _compile_group(triples, el[1], prefixes, quads,
                                           extra, want_meta=meta,
-                                          needed=sub_needed)
+                                          needed=sub_needed,
+                                          out_nullable=scan_null,
+                                          outer_bound=_sub_outer())
                 right, rv = _compile_group(triples, el[2], prefixes, quads,
                                            extra, want_meta=meta,
-                                           needed=sub_needed)
+                                           needed=sub_needed,
+                                           out_nullable=scan_null,
+                                           outer_bound=_sub_outer())
                 scan = left.unionByName(right, allowMissingColumns=True)
                 vars_, how = lv | rv, "inner"
             else:
                 scan, vars_ = _compile_group(triples, el[1], prefixes,
                                              quads, extra, want_meta=meta,
-                                             needed=sub_needed)
+                                             needed=sub_needed,
+                                             out_nullable=scan_null,
+                                             outer_bound=_sub_outer(),
+                                             out_deferred=scan_defer)
                 how = "left" if el[0] == "optional" else "inner"
         else:  # pragma: no cover
             raise SparqlError(f"unknown group element {el!r}")
         if plan is None:
             if how == "left":
                 raise SparqlError("OPTIONAL cannot be the first pattern")
+            if scan_defer:  # opening subgroup: outer vars are OUR outer
+                if out_deferred is None:
+                    raise SparqlError(
+                        "FILTER references enclosing-group variables "
+                        "where outer bindings cannot be seen")
+                out_deferred.extend(scan_defer)
             plan, bound = scan, vars_
+            nullable |= scan_null
         else:
-            plan, bound = _join(plan, bound, scan, vars_, how, nullable)
+            plan, bound = _join(plan, bound, scan, vars_, how, nullable,
+                                scan_null,
+                                deferred=scan_defer if how == "left"
+                                else None)
+            if scan_defer and how != "left":
+                # inner-joined subgroup (nested {} / GRAPH): applying the
+                # deferred filter after the join IS the ON-condition
+                # semantics; anything still unresolvable re-defers upward
+                for ftoks in scan_defer:
+                    fvars = {t[1:] for t in ftoks if t.startswith("?")}
+                    if fvars - set(plan.columns):
+                        if out_deferred is None:
+                            raise SparqlError(
+                                "FILTER references enclosing-group "
+                                "variables where outer bindings cannot "
+                                "be seen")
+                        out_deferred.append(ftoks)
+                    else:
+                        plan = plan.where(
+                            _filter_sql(ftoks, set(plan.columns)))
     if plan is None:
         raise SparqlError("empty group pattern")
     # metadata filters on vars bound in SUBJECT/PREDICATE position: kind
@@ -1678,19 +1778,73 @@ def _compile_group(triples: DataFrame, group: _Group,
                 raise SparqlError(
                     f"isIRI/LANG/DATATYPE(?{v}) requires ?{v} bound by a "
                     "triple pattern in this group")
-    # SPARQL filter scope: the enclosing group, after all elements joined
+    # SPARQL filter scope: the enclosing group, after all elements joined.
+    # Filters referencing variables bound only in the ENCLOSING scope
+    # defer to the caller (OPTIONAL → left-join ON, EXISTS → semi/anti
+    # condition, plain nested group → applied after its join); positions
+    # where outer bindings are invisible by spec (MINUS right side,
+    # subselects) never set outer_bound, so their filters keep the
+    # unbound-NULL semantics those scopes require.
     for ftoks in filters:
+        fvars = {t[1:] for t in ftoks if t.startswith("?")}
+        missing = fvars - set(plan.columns)
+        if missing and outer_bound and missing & outer_bound:
+            if out_deferred is None:
+                raise SparqlError(
+                    "FILTER references enclosing-group variables ("
+                    + ", ".join("?" + v
+                                for v in sorted(missing & outer_bound))
+                    + ") where outer bindings cannot be seen (e.g. a "
+                    "UNION branch)")
+            out_deferred.append(ftoks)
+            continue
         plan = plan.where(_filter_sql(ftoks, set(plan.columns)))
     # EXISTS/NOT EXISTS: correlated on the shared variables → semi/anti join
     # (the standard decorrelation; exact for the supported fragment, where
     # the inner group references the outer row only through shared vars)
     for positive, sub in exists:
+        e_null: set[str] = set()
+        e_def: list[list[str]] = []
         sub_plan, sub_vars = _compile_group(triples, sub, prefixes, quads,
-                                            extra, needed=set(bound))
+                                            extra, needed=set(bound),
+                                            out_nullable=e_null,
+                                            outer_bound=bound
+                                            | (outer_bound or set()),
+                                            out_deferred=e_def)
         keys = sorted(bound & sub_vars)
         how = "left_semi" if positive else "left_anti"
-        null_keys = {k for k in keys if k in nullable}
-        if keys and null_keys:
+        null_keys = {k for k in keys if k in nullable or k in e_null}
+        if e_def:
+            # substitution semantics: the subgroup's filters on OUTER
+            # variables correlate the semi/anti join.  Scan side fully
+            # renamed (_ex_*), filter tokens rewritten to the renamed
+            # columns for subgroup-bound vars — outer vars resolve
+            # against the plan side.
+            fvars: set[str] = set()
+            for ftoks in e_def:
+                fvars |= {t[1:] for t in ftoks if t.startswith("?")}
+            need_cols = set(keys) | (fvars & sub_vars)
+            sub2 = sub_plan.select(*sorted(need_cols)).distinct() \
+                if need_cols else sub_plan.limit(1)
+            for c in (need_cols or set(sub2.columns)):
+                sub2 = sub2.withColumnRenamed(c, f"_ex_{c}")
+            cond = None
+            for k in keys:
+                c = F.col(k) == F.col(f"_ex_{k}")
+                if k in null_keys:
+                    c = F.col(k).isNull() | F.col(f"_ex_{k}").isNull() | c
+                cond = c if cond is None else cond & c
+            cols_all = set(plan.columns) | set(sub2.columns)
+            for ftoks in e_def:
+                rtoks = ["?_ex_" + t[1:]
+                         if t.startswith("?") and t[1:] in sub_vars else t
+                         for t in ftoks]
+                fc = F.expr(_filter_sql(rtoks, cols_all))
+                cond = fc if cond is None else cond & fc
+            plan = plan.join(sub2,
+                             cond if cond is not None else F.lit(True),
+                             how)
+        elif keys and null_keys:
             # UNDEF-nullable keys: substitute-then-evaluate semantics —
             # an unbound outer var constrains nothing, so compatibility
             # (NULL on either side matches) replaces equality.  Same
@@ -1710,6 +1864,8 @@ def _compile_group(triples: DataFrame, group: _Group,
             # uncorrelated: gate on whether the inner group has any row
             marker = sub_plan.limit(1).select(F.lit(1).alias("_e"))
             plan = plan.join(marker, F.lit(True), how)
+    if out_nullable is not None:
+        out_nullable |= nullable
     return plan, bound
 
 
