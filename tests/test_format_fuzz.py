@@ -138,3 +138,12 @@ def test_jsonld_roundtrip_hostile(spark, hostile_triples):
 
     back = from_jsonld(to_jsonld(hostile_triples))
     assert _setof(back) == _setof(hostile_triples)
+
+
+def test_jsonld_quads_roundtrip_hostile(spark, hostile_quads):
+    from trident_spark.pipeline.jsonld import (
+        from_jsonld_quads, to_jsonld_quads,
+    )
+
+    back = from_jsonld_quads(to_jsonld_quads(hostile_quads))
+    assert _setof(back) == _setof(hostile_quads)

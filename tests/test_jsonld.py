@@ -74,3 +74,56 @@ def test_triple_term_rejected(spark):
           None, None)], COLS)
     with pytest.raises(Exception, match="cannot serialize"):
         to_jsonld(df).collect()
+
+
+def test_parse_jsonld_quads_dataset():
+    """Named-graph nodes carry their @graph contents; bare wrappers and
+    plain nodes are the default graph; a named-graph node's own extra
+    properties assert in the default graph; wrapper @context folds."""
+    from trident_spark.pipeline.jsonld import parse_jsonld_quads
+
+    doc = """[
+      {"@context": {"@vocab": "https://schema.org/"},
+       "@id": "http://g/1",
+       "@graph": [{"@id": "http://x/a", "name": "Alice"}],
+       "label": "graph one"},
+      {"@graph": [{"@id": "http://x/b",
+                   "https://schema.org/name": "Bob"}]},
+      {"@id": "http://x/c", "https://schema.org/name": "Cid"}
+    ]"""
+    got = set(parse_jsonld_quads(doc))
+    assert ("http://x/a", SCHEMA + "name", "Alice", "literal", None, None,
+            "http://g/1") in got
+    assert ("http://x/b", SCHEMA + "name", "Bob", "literal", None, None,
+            None) in got
+    assert ("http://x/c", SCHEMA + "name", "Cid", "literal", None, None,
+            None) in got
+    # the named-graph node's own property lands in the DEFAULT graph
+    assert ("http://g/1", SCHEMA + "label", "graph one", "literal", None,
+            None, None) in got
+
+
+def test_jsonld_quads_roundtrip(spark):
+    """quads → to_jsonld_quads → from_jsonld_quads → identical quad set
+    (default + named graphs, typed/lang literals, blank objects)."""
+    from trident_spark.pipeline.jsonld import (
+        from_jsonld_quads, to_jsonld_quads,
+    )
+
+    qcols = COLS + ", graph string"
+    rows = [
+        ("http://x/a", RDF_TYPE, SCHEMA + "Person", "iri", None, None,
+         None),
+        ("http://x/a", SCHEMA + "name", "Alice", "literal", None, "en",
+         "http://g/1"),
+        ("http://x/a", SCHEMA + "age", "30", "literal", XSD + "integer",
+         None, "http://g/1"),
+        ("http://x/a", SCHEMA + "knows", "_:b1", "blank", None, None,
+         "http://g/2"),
+        ("_:b1", SCHEMA + "name", "Bob", "literal", None, None,
+         "http://g/2"),
+    ]
+    quads = spark.createDataFrame(rows, qcols)
+    docs = to_jsonld_quads(quads)
+    back = from_jsonld_quads(docs)
+    assert {tuple(r) for r in back.collect()} == set(rows)
