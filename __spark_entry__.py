@@ -1103,16 +1103,36 @@ def q_kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_kg_jsonld_quads_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """JSON-LD dataset documents: the per-document quads serialized as
+    {"@id": g, "@graph": [node]} shards, parsed back with the dataset
+    reader — same independent SQL reconstruction oracle as N-Quads."""
+    from trident_spark.pipeline.jsonld import (
+        from_jsonld_quads, to_jsonld_quads,
+    )
+
+    quads = _doc_quads(spark, sf_dir)
+    parsed = from_jsonld_quads(to_jsonld_quads(quads))
+    return parsed.select(
+        "subj", "pred", "obj_lexical", "obj_kind",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+        "graph",
+    ).distinct()
+
+
 def q_kg_quads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union suite of the two named-graph round-trips (window
+    """Union suite of the three named-graph round-trips (window
     consolidation, r4): the same per-document quads serialized+parsed
-    via N-Quads lines and via TriG `<g> { block }` chunks; each leg keeps
-    its standalone mirror in extra_queries()."""
+    via N-Quads lines, TriG `<g> { block }` chunks, and JSON-LD dataset
+    documents; each leg keeps its standalone mirror in extra_queries()."""
     nq = q_kg_nquads_roundtrip(spark, sf_dir) \
         .withColumn("suite", F.lit("nquads"))
     tg = q_kg_trig_roundtrip(spark, sf_dir) \
         .withColumn("suite", F.lit("trig"))
-    return nq.unionByName(tg)
+    jq = q_kg_jsonld_quads_roundtrip(spark, sf_dir) \
+        .withColumn("suite", F.lit("jsonld"))
+    return nq.unionByName(tg).unionByName(jq)
 
 
 _KG_QUADS_ROUNDTRIP_ORACLE = f"""
@@ -1122,6 +1142,9 @@ SELECT subj, pred, obj_lexical, obj_kind, obj_datatype, graph,
 UNION ALL
 SELECT subj, pred, obj_lexical, obj_kind, obj_datatype, graph,
        'trig' AS suite FROM rt
+UNION ALL
+SELECT subj, pred, obj_lexical, obj_kind, obj_datatype, graph,
+       'jsonld' AS suite FROM rt
 """
 
 
@@ -2408,6 +2431,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_provider": q_kg_bgp_provider,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_trig_roundtrip": q_kg_trig_roundtrip,
+        "kg_jsonld_quads_roundtrip": q_kg_jsonld_quads_roundtrip,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_bind": q_kg_sparql_bind,
@@ -2543,6 +2567,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kg_bgp_provider": _KG_BGP_ORACLE,
         "kg_nquads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_trig_roundtrip": _KG_NQUADS_ORACLE,
+        "kg_jsonld_quads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
         "kg_sparql_having": _KG_SPARQL_HAVING_ORACLE,
         "kg_sparql_bind": _KG_SPARQL_BIND_ORACLE,
