@@ -2123,3 +2123,30 @@ def test_empty_constructor_args_raise_sparql_error(spark, graph):
                 "SELECT ?s WHERE { ?s ?p ?o . FILTER(SHA256() = \"z\") }"]:
         with pytest.raises(SparqlError):
             query(graph, bad)
+
+
+def test_describe_follows_blank_node_closure(spark):
+    """DESCRIBE returns the Concise Bounded Description: blank-node
+    objects are chased recursively (a [...] property-list structure
+    comes back whole); IRIs are never chased; unrelated blanks are
+    excluded."""
+    from trident_spark.query.sparql import describe
+
+    rows = [
+        ("http://x/r", "http://p/a", "_:b1", "blank", None, None),
+        ("_:b1", "http://p/b", "_:b2", "blank", None, None),
+        ("_:b2", "http://p/c", "leaf", "literal", None, None),
+        # IRI object: described resource links out, target NOT chased
+        ("http://x/r", "http://p/d", "http://x/other", "iri", None, None),
+        ("http://x/other", "http://p/e", "nope", "literal", None, None),
+        # unrelated blank structure
+        ("_:z1", "http://p/f", "island", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    got = {tuple(r) for r in describe(g, "DESCRIBE <http://x/r>").collect()}
+    assert got == {
+        ("http://x/r", "http://p/a", "_:b1", "blank"),
+        ("_:b1", "http://p/b", "_:b2", "blank"),
+        ("_:b2", "http://p/c", "leaf", "literal"),
+        ("http://x/r", "http://p/d", "http://x/other", "iri"),
+    }

@@ -2223,10 +2223,13 @@ def describe(triples: DataFrame, sparql: str) -> DataFrame:
     (subj, pred, obj_lexical, obj_kind).
 
     Per SPARQL 1.1 §16.4 the result shape is implementation-defined; this
-    engine returns every triple whose SUBJECT is a described resource (the
-    common "forward description" choice, no CBD blank-node chasing).
-    Forms: ``DESCRIBE <iri> [<iri> ...]`` and ``DESCRIBE ?v WHERE { ... }``
-    (resources = the distinct bindings of each described variable)."""
+    engine returns the Concise Bounded Description: every triple whose
+    SUBJECT is a described resource, plus — recursively — the triples of
+    blank-node objects reached from it (the de-facto standard CBD; IRIs
+    are never chased, so the closure is bounded by blank-node nesting
+    depth).  Forms: ``DESCRIBE <iri> [<iri> ...]`` and ``DESCRIBE ?v
+    WHERE { ... }`` (resources = the distinct bindings of each described
+    variable)."""
     if "graph" in triples.columns:
         quads: DataFrame | None = triples
         triples = triples.where(F.col("graph").isNull())
@@ -2269,9 +2272,27 @@ def describe(triples: DataFrame, sparql: str) -> DataFrame:
     elif vars_:
         raise SparqlError("DESCRIBE ?var requires a WHERE group")
 
+    # CBD fixpoint: chase BLANK objects only (depth = document nesting,
+    # small by construction; localCheckpoint truncates lineage per round
+    # like the connected-components loop)
+    seen = resources.select("_res").distinct().localCheckpoint(eager=True)
+    frontier = seen
+    while True:
+        blanks = (
+            triples.join(frontier, triples["subj"] == F.col("_res"),
+                         "left_semi")
+            .where(F.col("obj_kind") == "blank")
+            .select(F.col("obj_lexical").alias("_res")).distinct()
+            .join(seen, "_res", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not blanks.take(1):
+            break
+        seen = seen.union(blanks).localCheckpoint(eager=True)
+        frontier = blanks
+
     return (
-        triples.join(resources.distinct(),
-                     triples["subj"] == F.col("_res"), "left_semi")
+        triples.join(seen, triples["subj"] == F.col("_res"), "left_semi")
         .select("subj", "pred", "obj_lexical", "obj_kind")
         .distinct()
     )
