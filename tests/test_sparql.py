@@ -2150,3 +2150,24 @@ def test_describe_follows_blank_node_closure(spark):
         ("_:b2", "http://p/c", "leaf", "literal"),
         ("http://x/r", "http://p/d", "http://x/other", "iri"),
     }
+
+
+def test_distinct_aggregates_and_group_concat_separator(spark):
+    """SUM/AVG(DISTINCT ?x), MIN/MAX with redundant DISTINCT, and
+    GROUP_CONCAT(?x; SEPARATOR="..") incl. the DISTINCT form."""
+    rows = [("http://x/a", "http://p/n", "2", "literal", None, None),
+            ("http://x/b", "http://p/n", "2", "literal", None, None),
+            ("http://x/c", "http://p/n", "3", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT (SUM(DISTINCT ?o) AS ?sd) (AVG(DISTINCT ?o) AS ?ad)
+        (MIN(DISTINCT ?o) AS ?mn) (COUNT(DISTINCT ?o) AS ?cd)
+        WHERE { ?s <http://p/n> ?o }""")
+    r = df.first()
+    assert float(r["sd"]) == 5.0 and float(r["ad"]) == 2.5
+    assert r["mn"] == "2" and r["cd"] == 2
+    df2 = query(g, """SELECT (GROUP_CONCAT(?o; SEPARATOR="|") AS ?c)
+        (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=", ") AS ?cdm)
+        WHERE { ?s <http://p/n> ?o }""")
+    r2 = df2.first()
+    assert r2["c"] == "2|2|3"
+    assert r2["cdm"] == "2, 3"

@@ -1889,6 +1889,7 @@ class _SelectItem:
     distinct: bool = False
     alias: str | None = None
     expr: list | None = None        # (expr AS ?alias) projection tokens
+    sep: str | None = None          # GROUP_CONCAT SEPARATOR (default " ")
 
     @property
     def out_name(self) -> str:
@@ -1936,6 +1937,16 @@ def _parse_select_items(toks: list[str]) -> tuple[bool, list[_SelectItem] | None
                 adist = False
                 if atoks[0].upper() == "DISTINCT":
                     adist, atoks = True, atoks[1:]
+                sep = None
+                if (agg == "GROUP_CONCAT" and len(atoks) >= 4
+                        and atoks[-4] == ";"
+                        and atoks[-3].upper() == "SEPARATOR"
+                        and atoks[-2] == "="
+                        and atoks[-1].startswith('"')):
+                    sep = _decode_echars(atoks[-1][1:-1])
+                    atoks = atoks[:-4]
+                if not atoks:
+                    raise SparqlError("aggregates take one argument")
                 if not atoks or toks[j : j + 1] == [] \
                         or toks[j].upper() != "AS":
                     raise SparqlError(
@@ -1948,7 +1959,7 @@ def _parse_select_items(toks: list[str]) -> tuple[bool, list[_SelectItem] | None
                 raise SparqlError("malformed aggregate in SELECT") from None
             items.append(_SelectItem(
                 agg=agg, agg_arg="*" if atoks == ["*"] else atoks,
-                distinct=adist, alias=alias[1:]))
+                distinct=adist, alias=alias[1:], sep=sep))
             i = j + 3
         else:
             raise SparqlError(f"unexpected token in SELECT: {t!r}")
@@ -1970,12 +1981,25 @@ def _agg_col(it: _SelectItem):
         col = F.expr(_filter_sql(atoks))
         if it.agg == "COUNT":
             c = F.countDistinct(col) if it.distinct else F.count(col)
-        else:
+        elif it.agg == "GROUP_CONCAT":
+            arr = F.collect_list(col)
             if it.distinct:
-                raise SparqlError("DISTINCT is only supported inside COUNT")
+                arr = F.array_distinct(arr)
+            # values sorted so the result is deterministic (the spec
+            # leaves concatenation order undefined)
+            c = F.concat_ws(it.sep if it.sep is not None else " ",
+                            F.array_sort(arr))
+        else:
             if it.agg in ("SUM", "AVG"):
                 col = col.cast("double")  # lexical forms are strings
-            c = _AGG_FUNCS[it.agg](col)
+            if it.distinct and it.agg == "SUM":
+                c = F.sum_distinct(col)
+            elif it.distinct and it.agg == "AVG":
+                c = F.try_divide(F.sum_distinct(col),
+                                 F.count_distinct(col))
+            else:
+                # MIN/MAX/SAMPLE: DISTINCT cannot change the result
+                c = _AGG_FUNCS[it.agg](col)
     return c.alias(it.alias)
 
 
