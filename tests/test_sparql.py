@@ -639,12 +639,17 @@ def test_having(spark, people):
         (SCHEMA + "Person", 3)]
 
 
-def test_having_requires_matching_select_aggregate(spark, people):
-    with pytest.raises(SparqlError, match="SELECT clause"):
-        query(people, """
-            SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t }
-            GROUP BY ?t HAVING(SUM(?s) > 2)
-        """)
+def test_having_aggregate_outside_select_computes_hidden(spark, people):
+    """(was a loud restriction; lifted r4) HAVING aggregates absent from
+    SELECT compute as hidden columns.  SUM over IRI lexicals casts to
+    NULL, so the comparison errors every group out — rows drop, no
+    crash."""
+    df = query(people, """
+        SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+        GROUP BY ?t HAVING(SUM(?s) > 2)
+    """)
+    assert df.count() == 0
+    assert df.columns == ["t", "n"]
 
 
 def test_limit_offset_pagination(spark, people):
@@ -2171,3 +2176,21 @@ def test_distinct_aggregates_and_group_concat_separator(spark):
     r2 = df2.first()
     assert r2["c"] == "2|2|3"
     assert r2["cdm"] == "2, 3"
+
+
+def test_having_aggregate_not_in_select(spark):
+    """HAVING may filter on aggregates that do NOT appear in SELECT —
+    they compute as hidden columns and drop after filtering."""
+    rows = [("http://x/a", "http://p/n", "1", "literal", None, None),
+            ("http://x/a", "http://p/n", "5", "literal", None, None),
+            ("http://x/b", "http://p/n", "2", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?s (COUNT(?o) AS ?c) WHERE {
+        ?s <http://p/n> ?o } GROUP BY ?s HAVING (SUM(?o) > 3)""")
+    assert [tuple(r) for r in df.collect()] == [("http://x/a", 2)]
+    assert df.columns == ["s", "c"]  # hidden SUM column dropped
+    # still works when the HAVING aggregate also appears in SELECT
+    df2 = query(g, """SELECT ?s (SUM(?o) AS ?t) WHERE {
+        ?s <http://p/n> ?o } GROUP BY ?s HAVING (SUM(?o) > 3)""")
+    assert [(r["s"], float(r["t"])) for r in df2.collect()] == [
+        ("http://x/a", 6.0)]

@@ -40,8 +40,9 @@ switch to the same compatibility condition (MINUS also requiring the
 shared keys — nullability is threaded across nested groups, UNION
 branches, GRAPH scopes and the right side of MINUS/EXISTS, but NOT
 through subselect projections; SUM/AVG cast the lexical form to double;
-HAVING aggregate expressions must repeat an aggregate already named in the
-SELECT clause; GRAPH patterns need a quads frame (a ``graph`` column —
+HAVING aggregates not named in SELECT are computed as hidden columns
+and dropped after filtering; GRAPH patterns need a quads frame (a
+``graph`` column —
 top-level patterns then match the default graph per SPARQL dataset
 semantics); property paths inside ``GRAPH ?var`` compute per-graph
 closures; nested GRAPH re-scopes the active graph per §13.3 (the outer
@@ -1991,7 +1992,10 @@ def _agg_col(it: _SelectItem):
                             F.array_sort(arr))
         else:
             if it.agg in ("SUM", "AVG"):
-                col = col.cast("double")  # lexical forms are strings
+                # lexical forms are strings; try_cast keeps per-value
+                # error semantics (non-numeric → ignored as NULL) where
+                # an ANSI cast would abort the whole query
+                col = col.try_cast("double")
             if it.distinct and it.agg == "SUM":
                 c = F.sum_distinct(col)
             elif it.distinct and it.agg == "AVG":
@@ -2003,10 +2007,15 @@ def _agg_col(it: _SelectItem):
     return c.alias(it.alias)
 
 
-def _rewrite_having(toks: list[str], items: list[_SelectItem]) -> list[str]:
-    """HAVING tokens with AGG(?v) calls → the matching SELECT alias as a
-    ?var token (so _filter_sql renders it as a column reference)."""
+def _rewrite_having(toks: list[str], items: list[_SelectItem]
+                    ) -> tuple[list[str], list[_SelectItem]]:
+    """HAVING tokens with AGG(?v) calls → alias ?var tokens.  A call
+    matching a SELECT aggregate reuses its alias; one that does NOT
+    appear in SELECT gets a synthesized HIDDEN aggregate item (second
+    return value) — the caller computes it alongside the projected
+    aggregates and the final projection drops it."""
     out: list[str] = []
+    hidden: list[_SelectItem] = []
     i = 0
     while i < len(toks):
         up = toks[i].upper()
@@ -2018,22 +2027,29 @@ def _rewrite_having(toks: list[str], items: list[_SelectItem]) -> list[str]:
             inner = toks[i + 2 : j - 1]
             adist = bool(inner) and inner[0].upper() == "DISTINCT"
             atoks = inner[1:] if adist else inner
+            sep = None
+            if (up == "GROUP_CONCAT" and len(atoks) >= 4
+                    and atoks[-4] == ";"
+                    and atoks[-3].upper() == "SEPARATOR"
+                    and atoks[-2] == "=" and atoks[-1].startswith('"')):
+                sep = _decode_echars(atoks[-1][1:-1])
+                atoks = atoks[:-4]
             arg = "*" if atoks == ["*"] else atoks
             match = next(
-                (it for it in items
+                (it for it in items + hidden
                  if it.agg == up and it.agg_arg == arg
-                 and it.distinct == adist),
+                 and it.distinct == adist and it.sep == sep),
                 None)
             if match is None:
-                raise SparqlError(
-                    f"HAVING aggregate {up}({' '.join(inner)}) must also "
-                    "appear in the SELECT clause")
+                match = _SelectItem(agg=up, agg_arg=arg, distinct=adist,
+                                    alias=f"_hv{len(hidden)}", sep=sep)
+                hidden.append(match)
             out.append("?" + match.alias)
             i = j
         else:
             out.append(toks[i])
             i += 1
-    return out
+    return out, hidden
 
 
 def _compile_select(triples: DataFrame, toks: list[str],
@@ -2127,9 +2143,12 @@ def _compile_select(triples: DataFrame, toks: list[str],
         if missing:
             raise SparqlError(f"unbound GROUP BY variables: {missing}")
         aggs = [_agg_col(it) for it in items if it.agg]
+        if having is not None:
+            htoks, hidden = _rewrite_having(having, items)
+            aggs += [_agg_col(it) for it in hidden]
         plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
         if having is not None:
-            plan = plan.where(_filter_sql(_rewrite_having(having, items)))
+            plan = plan.where(_filter_sql(htoks))
         out_cols = [it.out_name for it in items]
         plan = plan.select(*out_cols)
     else:
@@ -3024,9 +3043,12 @@ def _apply_select_tail(plan: DataFrame, distinct: bool,
                 "(expr AS ?v) projections cannot mix with aggregates")
         keys = group_by or [it.var for it in items if it.var]
         aggs = [_agg_col(it) for it in items if it.agg]
+        if having is not None:
+            htoks, hidden = _rewrite_having(having, items)
+            aggs += [_agg_col(it) for it in hidden]
         plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
         if having is not None:
-            plan = plan.where(_filter_sql(_rewrite_having(having, items)))
+            plan = plan.where(_filter_sql(htoks))
         out_cols = [it.out_name for it in items]
     else:
         if items is not None:
