@@ -2194,3 +2194,26 @@ def test_having_aggregate_not_in_select(spark):
         ?s <http://p/n> ?o } GROUP BY ?s HAVING (SUM(?o) > 3)""")
     assert [(r["s"], float(r["t"])) for r in df2.collect()] == [
         ("http://x/a", 6.0)]
+
+
+def test_order_by_aggregate_expression(spark):
+    """ORDER BY DESC(COUNT(?o)) / SUM(?o): aggregate sort keys rewrite
+    to (hidden, dropped-after-sort) aggregate columns; a key matching a
+    SELECT aggregate reuses its alias."""
+    rows = [("http://x/a", "http://p/n", "1", "literal", None, None),
+            ("http://x/a", "http://p/n", "5", "literal", None, None),
+            ("http://x/a", "http://p/n", "6", "literal", None, None),
+            ("http://x/b", "http://p/n", "9", "literal", None, None),
+            ("http://x/b", "http://p/n", "2", "literal", None, None),
+            ("http://x/c", "http://p/n", "100", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?s WHERE { ?s <http://p/n> ?o }
+        GROUP BY ?s ORDER BY DESC(COUNT(?o))""")
+    assert [r["s"] for r in df.collect()] == [
+        "http://x/a", "http://x/b", "http://x/c"]
+    assert df.columns == ["s"]
+    df2 = query(g, """SELECT ?s (COUNT(?o) AS ?n) WHERE {
+        ?s <http://p/n> ?o } GROUP BY ?s ORDER BY DESC(SUM(?o)) ?s""")
+    assert [r["s"] for r in df2.collect()] == [
+        "http://x/c", "http://x/a", "http://x/b"]
+    assert df2.columns == ["s", "n"]

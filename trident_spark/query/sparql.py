@@ -2133,7 +2133,11 @@ def _compile_select(triples: DataFrame, toks: list[str],
         else:
             raise SparqlError(f"unexpected token after WHERE: {tail[j]!r}")
 
-    has_agg = items is not None and any(it.agg for it in items)
+    # an explicit GROUP BY makes this an aggregate query even when the
+    # projection holds only group keys (HAVING / ORDER BY may still
+    # reference aggregates via hidden columns)
+    has_agg = items is not None and (any(it.agg for it in items)
+                                     or bool(group_by))
     if has_agg:
         if any(it.expr is not None for it in items):
             raise SparqlError(
@@ -2143,15 +2147,36 @@ def _compile_select(triples: DataFrame, toks: list[str],
         if missing:
             raise SparqlError(f"unbound GROUP BY variables: {missing}")
         aggs = [_agg_col(it) for it in items if it.agg]
+        hidden_all: list[_SelectItem] = []
         if having is not None:
             htoks, hidden = _rewrite_having(having, items)
-            aggs += [_agg_col(it) for it in hidden]
-        plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
+            hidden_all += hidden
+        if order:
+            # ORDER BY DESC(COUNT(?x)) etc.: aggregate calls in sort
+            # keys rewrite to (possibly hidden) aggregate aliases too
+            new_order = []
+            for etoks, d in order:
+                rtoks, more = _rewrite_having(etoks, items + hidden_all)
+                hidden_all += more
+                new_order.append((rtoks, d))
+            order = new_order
+        aggs += [_agg_col(it) for it in hidden_all]
+        if aggs:
+            plan = (plan.groupBy(*keys).agg(*aggs) if keys
+                    else plan.agg(*aggs))
+        else:
+            # GROUP BY with no aggregate anywhere ≡ distinct group keys
+            plan = plan.select(*keys).distinct()
         if having is not None:
             plan = plan.where(_filter_sql(htoks))
         out_cols = [it.out_name for it in items]
-        plan = plan.select(*out_cols)
+        order_vars = {t[1:] for etoks, _ in order for t in etoks
+                      if t.startswith("?")}
+        drop_after_order = [it.alias for it in hidden_all
+                            if it.alias in order_vars]
+        plan = plan.select(*out_cols, *drop_after_order)
     else:
+        drop_after_order = []
         if having is not None:
             raise SparqlError("HAVING requires aggregates in SELECT")
         if items is None:
@@ -2171,11 +2196,17 @@ def _compile_select(triples: DataFrame, toks: list[str],
         plan = plan.select(*out_cols)
 
     if distinct:
+        # NB: with SELECT DISTINCT + ORDER BY on a hidden aggregate the
+        # distinct runs over the hidden column too — two groups equal in
+        # every projected column but differing in the sort aggregate
+        # both survive (the sort key is genuinely ambiguous there; the
+        # spec leaves that interaction undefined)
         plan = plan.distinct()
     if order:
+        avail = set(out_cols) | set(drop_after_order)
         for etoks, _ in order:
             missing = [t[1:] for t in etoks
-                       if t.startswith("?") and t[1:] not in set(out_cols)]
+                       if t.startswith("?") and t[1:] not in avail]
             if missing:
                 raise SparqlError(
                     f"ORDER BY on unprojected variables: {missing}")
@@ -2183,9 +2214,11 @@ def _compile_select(triples: DataFrame, toks: list[str],
         for etoks, d in order:
             col = (F.col(etoks[0][1:]) if len(etoks) == 1
                    and etoks[0].startswith("?")
-                   else F.expr(_filter_sql(etoks, set(out_cols))))
+                   else F.expr(_filter_sql(etoks, avail)))
             keys.append(col.desc() if d else col.asc())
         plan = plan.orderBy(*keys)
+        if drop_after_order:
+            plan = plan.drop(*drop_after_order)
     if offset is not None:
         plan = plan.offset(offset)
     if limit is not None:
