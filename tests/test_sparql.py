@@ -1457,13 +1457,17 @@ def test_select_expression_projection(spark, graph):
         ("Alice", "ALICE", 10), ("Bob", "BOB", 6)]
 
 
-def test_select_expression_mixed_with_agg_rejected(spark, graph):
-    with pytest.raises(SparqlError, match="cannot mix"):
-        query(graph, """
-            PREFIX schema: <https://schema.org/>
-            SELECT (UCASE(?t) AS ?u) (COUNT(?s) AS ?n) WHERE { ?s a ?t }
-            GROUP BY ?t
-        """)
+def test_select_expression_mixed_with_agg(spark, graph):
+    """(was rejected; lifted r4) plain expressions over GROUP BY keys
+    coexist with aggregates — computed post-aggregation."""
+    df = query(graph, """
+        PREFIX schema: <https://schema.org/>
+        SELECT (UCASE(?t) AS ?u) (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+        GROUP BY ?t ORDER BY ?u
+    """)
+    rows = [(r["u"], r["n"]) for r in df.collect()]
+    assert all(u == u.upper() for u, _ in rows) and len(rows) >= 1
+    assert df.columns == ["u", "n"]
 
 
 def test_query_encoded_select_expression(spark, encoded_kg):
@@ -2217,3 +2221,22 @@ def test_order_by_aggregate_expression(spark):
     assert [r["s"] for r in df2.collect()] == [
         "http://x/c", "http://x/a", "http://x/b"]
     assert df2.columns == ["s", "n"]
+
+
+def test_select_expression_over_aggregates(spark):
+    """(expr AS ?v) projections may contain aggregate calls — they
+    rewrite to hidden aggregates and compute post-aggregation; plain
+    expressions over group keys work in the same query."""
+    rows = [("http://x/a", "http://p/n", "1", "literal", None, None),
+            ("http://x/a", "http://p/n", "5", "literal", None, None),
+            ("http://x/b", "http://p/n", "2", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?s (COUNT(?o) * 2 AS ?c2)
+        (STRLEN(?s) AS ?l) WHERE { ?s <http://p/n> ?o }
+        GROUP BY ?s ORDER BY ?s""")
+    got = [(r["s"], int(r["c2"]), r["l"]) for r in df.collect()]
+    assert got == [("http://x/a", 4, 10), ("http://x/b", 2, 10)]
+    # group-less: SELECT over the whole solution set
+    df2 = query(g, 'SELECT (SUM(?o) / COUNT(?o) AS ?mean) '
+                   'WHERE { ?s <http://p/n> ?o }')
+    assert abs(float(df2.first()["mean"]) - 8.0 / 3) < 1e-9

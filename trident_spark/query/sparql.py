@@ -1918,7 +1918,15 @@ def _parse_select_items(toks: list[str]) -> tuple[bool, list[_SelectItem] | None
             # or a plain projected expression ( expr AS ?alias )
             try:
                 agg = toks[i + 1].upper()
-                if agg not in _AGG_FUNCS or toks[i + 2] != "(":
+                # strict form only when "AS" directly follows the call —
+                # (COUNT(?o) * 2 AS ?c) is a plain expression item whose
+                # aggregates rewrite later
+                strict = agg in _AGG_FUNCS and toks[i + 2 : i + 3] == ["("]
+                if strict:
+                    _, j_peek = _parse_call_args(toks, i + 2)
+                    strict = bool(toks[j_peek : j_peek + 1]) and \
+                        toks[j_peek].upper() == "AS"
+                if not strict:
                     body, j = _parse_call_args(toks, i)
                     etoks = body[0] if len(body) == 1 else None
                     if (not etoks or len(etoks) < 3
@@ -2135,21 +2143,34 @@ def _compile_select(triples: DataFrame, toks: list[str],
 
     # an explicit GROUP BY makes this an aggregate query even when the
     # projection holds only group keys (HAVING / ORDER BY may still
-    # reference aggregates via hidden columns)
-    has_agg = items is not None and (any(it.agg for it in items)
-                                     or bool(group_by))
+    # reference aggregates via hidden columns), and an (expr AS ?v)
+    # projection CONTAINING an aggregate call makes it one too
+    def _toks_have_agg(ts: list[str]) -> bool:
+        return any(t.upper() in _AGG_FUNCS and ts[i + 1 : i + 2] == ["("]
+                   for i, t in enumerate(ts))
+
+    has_agg = items is not None and (
+        any(it.agg for it in items) or bool(group_by)
+        or any(it.expr is not None and _toks_have_agg(it.expr)
+               for it in items))
     if has_agg:
-        if any(it.expr is not None for it in items):
-            raise SparqlError(
-                "(expr AS ?v) projections cannot mix with aggregates")
         keys = group_by or [it.var for it in items if it.var]
         missing = [k for k in keys if k not in bound]
         if missing:
             raise SparqlError(f"unbound GROUP BY variables: {missing}")
         aggs = [_agg_col(it) for it in items if it.agg]
         hidden_all: list[_SelectItem] = []
+        # (expr AS ?v) over aggregates: the aggregate calls inside the
+        # expression rewrite to (hidden) aggregate aliases; the
+        # expression itself computes post-aggregation
+        expr_rewritten: dict[str, list[str]] = {}
+        for it in items:
+            if it.expr is not None:
+                rtoks, more = _rewrite_having(it.expr, items + hidden_all)
+                hidden_all += more
+                expr_rewritten[it.alias] = rtoks
         if having is not None:
-            htoks, hidden = _rewrite_having(having, items)
+            htoks, hidden = _rewrite_having(having, items + hidden_all)
             hidden_all += hidden
         if order:
             # ORDER BY DESC(COUNT(?x)) etc.: aggregate calls in sort
@@ -2169,6 +2190,9 @@ def _compile_select(triples: DataFrame, toks: list[str],
             plan = plan.select(*keys).distinct()
         if having is not None:
             plan = plan.where(_filter_sql(htoks))
+        for alias, rtoks in expr_rewritten.items():
+            plan = plan.withColumn(
+                alias, F.expr(_filter_sql(rtoks, set(plan.columns))))
         out_cols = [it.out_name for it in items]
         order_vars = {t[1:] for etoks, _ in order for t in etoks
                       if t.startswith("?")}
