@@ -2240,3 +2240,27 @@ def test_select_expression_over_aggregates(spark):
     df2 = query(g, 'SELECT (SUM(?o) / COUNT(?o) AS ?mean) '
                    'WHERE { ?s <http://p/n> ?o }')
     assert abs(float(df2.first()["mean"]) - 8.0 / 3) < 1e-9
+
+
+def test_negated_property_set_with_inverse_members(spark):
+    """§18.4: !(p|^q) splits into the forward NPS union the inverse of
+    the inverse-set NPS; !^p is the inverse-only form."""
+    rows = [("http://x/a", "http://p/1", "http://x/b", "iri", None, None),
+            ("http://x/a", "http://p/2", "http://x/c", "iri", None, None),
+            ("http://x/d", "http://p/3", "http://x/a", "iri", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    # !^p3 from a: reverse edges into a with pred != p3 -> none
+    df = query(g, 'SELECT ?o WHERE { <http://x/a> !^<http://p/3> ?o }')
+    assert df.count() == 0
+    # !^p1 from a: reverse edges into a with pred != p1 -> d (via p3)
+    df2 = query(g, 'SELECT ?o WHERE { <http://x/a> !(^<http://p/1>) ?o }')
+    assert [r["o"] for r in df2.collect()] == ["http://x/d"]
+    # mixed: forward preds != p1 (-> c via p2) UNION reverse preds != p2
+    # (-> d via p3)
+    df3 = query(g, """SELECT ?o WHERE {
+        <http://x/a> !(<http://p/1>|^<http://p/2>) ?o }""")
+    assert sorted(r["o"] for r in df3.collect()) == [
+        "http://x/c", "http://x/d"]
+    # plain forward NPS unchanged
+    df4 = query(g, 'SELECT ?o WHERE { <http://x/a> !<http://p/1> ?o }')
+    assert [r["o"] for r in df4.collect()] == ["http://x/c"]

@@ -162,18 +162,26 @@ def _parse_path(toks: list[str], i: int) -> tuple:
 
     def primary(i):
         if toks[i] == "!":
-            # negated property set: !iri or !(iri|iri|...); forward
-            # predicates only (no ^iri members)
+            # negated property set: !iri, !^iri, !(iri|^iri|...) — §18.4
+            # splits members into a forward set and an inverse set
             i += 1
-            members: list[str] = []
+            fwd: list[str] = []
+            invm: list[str] = []
+
+            def member(i: int) -> int:
+                into = fwd
+                if i < len(toks) and toks[i] == "^":
+                    into, i = invm, i + 1
+                if i >= len(toks) or not _is_term(toks[i]) \
+                        or toks[i].startswith("?"):
+                    raise SparqlError("invalid negated property set")
+                into.append(toks[i])
+                return i + 1
+
             if i < len(toks) and toks[i] == "(":
                 i += 1
                 while True:
-                    if i >= len(toks) or not _is_term(toks[i]) \
-                            or toks[i].startswith("?"):
-                        raise SparqlError("invalid negated property set")
-                    members.append(toks[i])
-                    i += 1
+                    i = member(i)
                     if i < len(toks) and toks[i] == "|":
                         i += 1
                         continue
@@ -182,11 +190,8 @@ def _parse_path(toks: list[str], i: int) -> tuple:
                     raise SparqlError("unbalanced negated property set")
                 i += 1
             else:
-                if i >= len(toks) or not _is_term(toks[i]) \
-                        or toks[i].startswith("?"):
-                    raise SparqlError("invalid negated property set")
-                members, i = [toks[i]], i + 1
-            return ("neg", members), i
+                i = member(i)
+            return ("neg", fwd, invm), i
         if toks[i] == "(":
             node, i = alt(i + 1)
             if i >= len(toks) or toks[i] != ")":
@@ -838,13 +843,26 @@ def _compile_path(triples: DataFrame, node: tuple,
             .distinct()
         )
     if kind == "neg":
-        values = [_expand(t, prefixes) for t in node[1]]
-        return (
-            triples.where(~F.col("pred").isin(values))
-            .select(*g_sel, F.col("subj").alias("_ps"),
-                    F.col("obj_lexical").alias("_po"))
-            .distinct()
-        )
+        # §18.4: !(P|^Q) = NPS over the forward set UNION the inverse of
+        # the NPS over the inverse set; a part exists only when its set
+        # does (plus the forward part for plain !p)
+        parts = []
+        if node[1] or not node[2]:
+            fwd = [_expand(t, prefixes) for t in node[1]]
+            parts.append(
+                triples.where(~F.col("pred").isin(fwd))
+                .select(*g_sel, F.col("subj").alias("_ps"),
+                        F.col("obj_lexical").alias("_po")))
+        if node[2]:
+            inv = [_expand(t, prefixes) for t in node[2]]
+            parts.append(
+                triples.where(~F.col("pred").isin(inv))
+                .select(*g_sel, F.col("obj_lexical").alias("_ps"),
+                        F.col("subj").alias("_po")))
+        out = parts[0]
+        if len(parts) == 2:
+            out = out.unionByName(parts[1])
+        return out.distinct()
     if kind == "opt":
         # zero-or-one: the base pairs plus the identity pair on every node
         base = _compile_path(triples, node[1], prefixes, per_graph)
