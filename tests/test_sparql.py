@@ -2264,3 +2264,28 @@ def test_negated_property_set_with_inverse_members(spark):
     # plain forward NPS unchanged
     df4 = query(g, 'SELECT ?o WHERE { <http://x/a> !<http://p/1> ?o }')
     assert [r["o"] for r in df4.collect()] == ["http://x/c"]
+
+
+def test_trailing_values_clause(spark):
+    """§10.2.2: a VALUES clause after the WHERE group joins the query
+    solutions — including multi-var rows and UNDEF wildcards."""
+    rows = [("http://x/a", "http://p/n", "one", "literal", None, None),
+            ("http://x/b", "http://p/n", "two", "literal", None, None),
+            ("http://x/c", "http://p/n", "three", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, 'SELECT ?s WHERE { ?s <http://p/n> ?o } '
+                  'VALUES ?o { "one" "three" }')
+    assert sorted(r["s"] for r in df.collect()) == [
+        "http://x/a", "http://x/c"]
+    df2 = query(g, """SELECT ?s ?m WHERE { ?s <http://p/n> ?o }
+        VALUES (?o ?m) { ("one" "m1") (UNDEF "wild") }""")
+    got = {(r["s"], r["m"]) for r in df2.collect()}
+    assert got == {("http://x/a", "m1"), ("http://x/a", "wild"),
+                   ("http://x/b", "wild"), ("http://x/c", "wild")}
+    # modifiers still parse before the clause
+    df3 = query(g, 'SELECT ?s WHERE { ?s <http://p/n> ?o } '
+                   'ORDER BY ?s LIMIT 5 VALUES ?o { "two" }')
+    assert [r["s"] for r in df3.collect()] == ["http://x/b"]
+    with pytest.raises(SparqlError, match="end the query"):
+        query(g, 'SELECT ?s WHERE { ?s <http://p/n> ?o } '
+                 'VALUES ?o { "one" } LIMIT 2')

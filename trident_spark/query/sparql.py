@@ -2098,6 +2098,19 @@ def _compile_select(triples: DataFrame, toks: list[str],
     group, i = _parse_group(toks, w + 2)
     tail = toks[i:]
 
+    # trailing VALUES clause (§10.2.2): joins the WHERE solutions — the
+    # same algebra as a VALUES block closing the group, so append it as
+    # the group's final element (UNDEF compatibility comes along free)
+    for j0, t0 in enumerate(tail):
+        if t0.upper() == "VALUES":
+            el, j1 = _parse_values(tail, j0 + 1)
+            if tail[j1:]:
+                raise SparqlError(
+                    "the VALUES clause must end the query")
+            group.elements.append(el)
+            tail = tail[:j0]
+            break
+
     # projection surface: only these variables ever need lexical values —
     # id-joined BGP runs skip decoding everything else (SELECT * → all)
     needed = (None if items is None
