@@ -2289,3 +2289,20 @@ def test_trailing_values_clause(spark):
     with pytest.raises(SparqlError, match="end the query"):
         query(g, 'SELECT ?s WHERE { ?s <http://p/n> ?o } '
                  'VALUES ?o { "one" } LIMIT 2')
+
+
+def test_group_by_expression(spark):
+    """GROUP BY (expr AS ?k): computed keys group and project; the
+    alias-less (expr) form groups without projecting."""
+    rows = [("http://x/a", "http://p/n", "apple", "literal", None, None),
+            ("http://x/b", "http://p/n", "avocado", "literal", None, None),
+            ("http://x/c", "http://p/n", "banana", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?k (COUNT(?s) AS ?n) WHERE {
+        ?s <http://p/n> ?o } GROUP BY (SUBSTR(?o, 1, 1) AS ?k)
+        ORDER BY ?k""")
+    assert [tuple(r) for r in df.collect()] == [("a", 2), ("b", 1)]
+    df2 = query(g, """SELECT (COUNT(?s) AS ?n) WHERE {
+        ?s <http://p/n> ?o } GROUP BY (SUBSTR(?o, 1, 1)) ORDER BY DESC(?n)""")
+    assert [r["n"] for r in df2.collect()] == [2, 1]
+    assert df2.columns == ["n"]

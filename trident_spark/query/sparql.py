@@ -2121,6 +2121,7 @@ def _compile_select(triples: DataFrame, toks: list[str],
     # tail: GROUP BY ?v... | HAVING(expr) | ORDER BY [ASC|DESC] (?v)
     #     | LIMIT n | OFFSET n
     group_by: list[str] = []
+    group_exprs: list[tuple[str, list[str]]] = []
     having: list[str] | None = None
     order: list[tuple[str, bool]] = []  # (var, desc)
     limit: int | None = None
@@ -2130,9 +2131,26 @@ def _compile_select(triples: DataFrame, toks: list[str],
         up = tail[j].upper()
         if up == "GROUP" and j + 1 < len(tail) and tail[j + 1].upper() == "BY":
             j += 2
-            while j < len(tail) and tail[j].startswith("?"):
-                group_by.append(tail[j][1:])
-                j += 1
+            while j < len(tail):
+                if tail[j].startswith("?"):
+                    group_by.append(tail[j][1:])
+                    j += 1
+                elif tail[j] == "(":
+                    # GROUP BY (expr [AS ?alias]): computed key — without
+                    # an alias it groups but is not projectable
+                    body, j = _parse_call_args(tail, j)
+                    etoks = body[0] if len(body) == 1 else None
+                    if not etoks:
+                        raise SparqlError("malformed GROUP BY expression")
+                    if (len(etoks) >= 3 and etoks[-2].upper() == "AS"
+                            and etoks[-1].startswith("?")):
+                        alias, expr_toks = etoks[-1][1:], etoks[:-2]
+                    else:
+                        alias, expr_toks = f"_gk{len(group_exprs)}", etoks
+                    group_exprs.append((alias, expr_toks))
+                    group_by.append(alias)
+                else:
+                    break
         elif up == "HAVING":
             if j + 1 >= len(tail) or tail[j + 1] != "(":
                 raise SparqlError("HAVING requires parenthesized expression")
@@ -2186,9 +2204,13 @@ def _compile_select(triples: DataFrame, toks: list[str],
                for it in items))
     if has_agg:
         keys = group_by or [it.var for it in items if it.var]
-        missing = [k for k in keys if k not in bound]
+        expr_keys = {a for a, _ in group_exprs}
+        missing = [k for k in keys if k not in bound and k not in expr_keys]
         if missing:
             raise SparqlError(f"unbound GROUP BY variables: {missing}")
+        for alias, etoks in group_exprs:
+            plan = plan.withColumn(
+                alias, F.expr(_filter_sql(etoks, set(plan.columns))))
         aggs = [_agg_col(it) for it in items if it.agg]
         hidden_all: list[_SelectItem] = []
         # (expr AS ?v) over aggregates: the aggregate calls inside the
