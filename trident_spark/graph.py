@@ -281,27 +281,31 @@ class Graph:
     # -- serialization ------------------------------------------------------
 
     def serialize(self, fmt: str = "turtle") -> str:
-        """Whole graph → one document string (collects; use the writers in
-        pipeline/sinks.py directly for distributed output)."""
-        from pyspark.sql import functions as F
-
+        """Whole graph → one document string.  The document is inherently
+        one driver-side Python string, but rows arrive through a
+        DISTRIBUTED sort + ``toLocalIterator`` — never a whole-graph
+        ``collect`` (executors sort and spill; the driver holds one
+        partition of rendered text at a time plus the growing result).
+        For file output at scale use the pipeline/sinks.py writers.
+        UTF-8 binary sort order equals code-point order, so output is
+        byte-identical to the former driver-side ``sorted()``."""
         from trident_spark.pipeline import sinks
 
         df = self._distinct()
+
+        def _stream(frame, col):
+            return (r[col] for r in frame.orderBy(col).toLocalIterator())
+
         if fmt == "turtle":
             header = sinks.turtle_header()
-            blocks = sinks.to_turtle(df).collect()
             return header + "\n\n" + "\n".join(
-                sorted(r["block"] for r in blocks))
+                _stream(sinks.to_turtle(df), "block"))
         if fmt == "ntriples":
-            lines = sinks.to_ntriples(df).collect()
-            return "\n".join(sorted(r["line"] for r in lines))
+            return "\n".join(_stream(sinks.to_ntriples(df), "line"))
         if fmt == "jsonld":
             from trident_spark.pipeline.jsonld import to_jsonld
-            docs = to_jsonld(df).collect()
-            return "[" + ",\n".join(sorted(r["doc"] for r in docs)) + "]"
+            return "[" + ",\n".join(_stream(to_jsonld(df), "doc")) + "]"
         if fmt == "rdfxml":
             from trident_spark.pipeline.rdfxml import to_rdfxml
-            docs = to_rdfxml(df).collect()
-            return "\n".join(sorted(r["doc"] for r in docs))
+            return "\n".join(_stream(to_rdfxml(df), "doc"))
         raise ValueError(f"unknown format {fmt!r}")

@@ -50,23 +50,33 @@ def contamination_scores(docs: DataFrame, benchmark: DataFrame,
                          n: int = 8,
                          text_col: str = "text", id_col: str = "doc_id",
                          bench_text_col: str = "text",
-                         bench_id_col: str = "bench_id") -> DataFrame:
+                         bench_id_col: str = "bench_id",
+                         broadcast_bench: bool = True) -> DataFrame:
     """Per (doc, benchmark item) n-gram overlap: (id, bench_id,
     n_shared_grams, bench_grams, overlap_frac) for every colliding pair.
 
     ``overlap_frac`` is shared / benchmark-item grams — the direction
     that matters (a long doc quoting a whole eval item is contaminated
-    no matter how big the doc is)."""
+    no matter how big the doc is).
+
+    ``broadcast_bench=True`` (default) force-broadcasts the benchmark
+    gram table — right for real eval sets (thousands of items; the
+    corpus side then never shuffles).  Pass ``False`` for an unusually
+    large benchmark (or tiny ``n`` on long items — gram explosion): the
+    join falls back to AQE's choice instead of OOMing executors on an
+    oversized broadcast."""
     d = _gram_hashes(docs, "id", text_col, id_col, n)
     b = _gram_hashes(benchmark, "bench_id", bench_text_col,
                      bench_id_col, n)
     bench_sizes = b.groupBy("bench_id").agg(
         F.count("*").alias("bench_grams"))
+    if broadcast_bench:
+        b, bench_sizes = F.broadcast(b), F.broadcast(bench_sizes)
     hits = (
-        d.join(F.broadcast(b), "gram_hash")
+        d.join(b, "gram_hash")
         .groupBy("id", "bench_id")
         .agg(F.count("*").alias("n_shared_grams"))
-        .join(F.broadcast(bench_sizes), "bench_id")
+        .join(bench_sizes, "bench_id")
     )
     return hits.select(
         "id", "bench_id", "n_shared_grams", "bench_grams",

@@ -288,7 +288,7 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     """
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_cells, seed=seed,
-                                        vec_col=vec_col)
+                                        vec_col=vec_col, id_col=id_col)
     q = np.asarray(query, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
     # stable sort: ties break on the lower cell index, matching the SQL

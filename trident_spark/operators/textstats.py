@@ -478,8 +478,21 @@ def normalize_text(docs: DataFrame, text_col: str = "text",
     col = _nfc(F.trim(col))
     from trident_spark.util import ensure_parallelism
 
-    return ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        col.alias("text"),
-        (col != F.col(text_col)).alias("was_changed"),
+    # project the normalized value ONCE, derive was_changed from the
+    # projected column (the Arrow NFC hop is the expensive node — naming
+    # it in two expressions evaluates it twice per row); NULL input text
+    # reads as not-changed, not NULL
+    return (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            col.alias("text"),
+            F.col(text_col).alias("_orig"),
+        )
+        .select(
+            "id",
+            "text",
+            F.coalesce(F.col("text") != F.col("_orig"),
+                       F.lit(False)).alias("was_changed"),
+        )
     )

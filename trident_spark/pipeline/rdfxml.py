@@ -404,7 +404,11 @@ def _render_subject(subj: str, pos) -> str:
         elif kind == "literal":
             body = _esc_text(p["obj_lexical"])
             if p["obj_lang"]:
-                props.append(f'{open_} xml:lang="{p["obj_lang"]}">'
+                # escape: a lang tag parsed from a single-quoted XML
+                # attribute may legally carry '"' or '<' — interpolating
+                # it raw would emit malformed XML that only fails on
+                # re-parse (the round-trip contract wants it loud here)
+                props.append(f'{open_} xml:lang="{_esc_attr(p["obj_lang"])}">'
                              f"{body}</n:{local}>")
             elif p["obj_datatype"]:
                 props.append(
