@@ -30,16 +30,23 @@ local relation; FILTER a Spark SQL expression; aggregates a
 ``groupBy().agg()``; CONSTRUCT a per-template-triple projection union with
 term kinds recovered by joining the graph's term dictionary.
 
-Simplifications vs full SPARQL 1.1 (documented, not silent): OPTIONAL-
-produced unbound (null) variables never join-match later patterns (SQL
-null semantics, not SPARQL compatibility — the overwhelmingly common
-reading); VALUES UNDEF cells compile to NULL rows joined via §10.2
-compatibility (broadcast theta join), and MINUS / EXISTS / NOT EXISTS
-switch to the same compatibility condition (MINUS also requiring the
-§8.3 domain overlap) whenever an UNDEF-nullable variable is among the
-shared keys — nullability is threaded across nested groups, UNION
-branches, GRAPH scopes and the right side of MINUS/EXISTS, but NOT
-through subselect projections; SUM/AVG cast the lexical form to double;
+Unbound-variable semantics (full §8.3/§10.2 compatibility): a variable
+that may be NULL = unbound — VALUES UNDEF cells, OPTIONAL-introduced
+variables on non-matching rows, variables bound in only one UNION
+branch — is threaded as *nullable* across nested groups, UNION
+branches, GRAPH scopes, subselect projections and the right side of
+MINUS/EXISTS; any later join sharing a nullable key compiles to a
+SPARQL §10.2 compatibility join (NULL matches anything, COALESCE
+re-binds).  On the scale path that is a UNION of plain equi-joins
+partitioned by null signature (hash-joinable — never a quadratic theta
+join); plans with no nullable shared key keep the plain equi-join.
+Remaining simplifications (documented, not silent): a filter DEFERRED
+into a plain nested group sees enclosing-group bindings (applied after
+the inner join) where strict SPARQL scoping would read such variables
+as unbound inside the subgroup — substitution is spec-sanctioned only
+for EXISTS/OPTIONAL, so plain-{} groups with outer-variable filters
+can differ from reference engines; SUM/AVG cast the lexical form to
+double;
 HAVING aggregates not named in SELECT are computed as hidden columns
 and dropped after filtering; GRAPH patterns need a quads frame (a
 ``graph`` column —
@@ -525,8 +532,21 @@ _FILTER_FUNCS = {
 _MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
                 "ENCODE_FOR_URI", "REGEX", "SHA256", "SHA384", "SHA512",
                 "ISNUMERIC", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-                "SECONDS", "TZ", "IRI", "URI", "STRLANG", "STRDT",
-                "ROUND", "CEIL", "FLOOR", "ABS")
+                "SECONDS", "TZ", "TIMEZONE", "IRI", "URI", "STRLANG",
+                "STRDT", "ROUND", "CEIL", "FLOOR", "ABS",
+                # SPARQL 1.2 triple-term accessors (the TRIPLE constructor
+                # and isTRIPLE predicate are handled structurally)
+                "SUBJECT", "PREDICATE", "OBJECT")
+
+
+def _sql_rx(py_regex: str) -> str:
+    """Java-regex string (as used with F.regexp_extract) → Spark SQL
+    string literal carrying the same regex (backslashes re-escaped)."""
+    return "'" + py_regex.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# N-Triples literal body (the quoted, still-escaped form)
+_NT_LIT_BODY = r'^"((?:[^"\\]|\\.)*)"'
 
 # non-deterministic SPARQL builtins: a distributed engine re-evaluating
 # them per partition/retry cannot give the single-evaluation semantics
@@ -569,6 +589,131 @@ def _term_constructor_bind(toks: list[str], prefixes: dict[str, str]
     if tag.startswith('"') or tag.startswith("?"):
         raise SparqlError("STRDT datatype must be an IRI")
     return args[0], "literal", None, _expand(tag, prefixes)
+
+
+def _esc_lit_col(col):
+    """N-Triples literal escape, JVM-side (writer parity with
+    pipeline/sinks._escape_literal — backslash first)."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    return F.regexp_replace(c, "\t", "\\\\t")
+
+
+def _outer_bind_vars(group: "_Group", outer: set[str]) -> set[str]:
+    """Outer-scope variables a BIND expression inside ``group`` (or a
+    nested subgroup) references without the group binding them itself —
+    the EXISTS substitution semantics needs those outer bindings SEEDED
+    into the subgroup compile (filters alone can defer into the join
+    condition; a BIND computes new columns and cannot)."""
+    binds: set[str] = set()
+    local: set[str] = set()
+
+    def walk(g: "_Group") -> None:
+        for el in g.elements:
+            if isinstance(el, _Pattern):
+                local.update(_pattern_vars(el))
+            elif isinstance(el, tuple) and el:
+                if el[0] == "bind":
+                    binds.update(t[1:] for t in el[1] if t.startswith("?"))
+                    local.add(el[2])
+                elif el[0] == "values":
+                    local.update(el[1])
+                elif el[0] in ("optional", "group", "minus"):
+                    walk(el[1])
+                elif el[0] == "graph":
+                    if el[1].startswith("?"):
+                        local.add(el[1][1:])
+                    walk(el[2])
+                elif el[0] == "union":
+                    walk(el[1])
+                    walk(el[2])
+
+    walk(group)
+    return (binds - local) & outer
+
+
+def _triple_bind_vars(elements: list) -> set[str]:
+    """Variables used as TRIPLE(...) constructor arguments in BINDs — their
+    pattern scans should carry term metadata so the constructor renders the
+    object with its true kind/lang/datatype (heuristic fallback otherwise)."""
+    need: set[str] = set()
+    for el in elements:
+        if isinstance(el, tuple) and el and el[0] == "bind":
+            toks = el[1]
+            if toks and toks[0].upper() == "TRIPLE":
+                need |= {t[1:] for t in toks if t.startswith("?")}
+    return need
+
+
+def _triple_ctor_col(args: list[list[str]], prefixes: dict[str, str],
+                     plan: DataFrame):
+    """``TRIPLE(s, p, o)`` (SPARQL 1.2 17.4.2.8) → a Column rendering the
+    canonical stored triple-term lexical ``<<( s p o )>>``
+    (pipeline/rdfstar.py triple_term writer parity), so the constructed
+    term joins/compares against pattern-bound triple terms.  NULL (= the
+    variable stays unbound) when any argument is unbound.  Non-ASCII IRI
+    args skip the writer's IRI→URI conversion (documented divergence)."""
+    if len(args) != 3 or any(len(a) != 1 for a in args):
+        raise SparqlError(
+            "TRIPLE takes (subject, predicate, object) single terms")
+    cols = set(plan.columns)
+
+    def const_obj(t: str):
+        if t.startswith('"'):
+            m = re.match(r'^("(?:[^"\\]|\\.)*")(.*)$', t)
+            if not m:
+                raise SparqlError(f"malformed literal {t!r}")
+            val = _term_value(m.group(1), prefixes)
+            return F.lit('"' + _escape_nt(val) + '"' + m.group(2))
+        if t.startswith("_:"):
+            return F.lit(t)
+        return F.lit("<" + _expand(t, prefixes) + ">")
+
+    def render(a: list[str], pos: str):
+        t = a[0]
+        if not t.startswith("?"):
+            if pos == "obj":
+                return const_obj(t)
+            if t.startswith('"'):
+                raise SparqlError(f"TRIPLE {pos} cannot be a literal")
+            return (F.lit(t) if t.startswith("_:")
+                    else F.lit("<" + _expand(t, prefixes) + ">"))
+        v = t[1:]
+        if v not in cols:
+            return F.lit(None).cast("string")  # unbound arg → unbound
+        val = F.col(v)
+        iri = F.concat(F.lit("<"), val, F.lit(">"))
+        if pos == "subj":
+            return F.when(val.startswith("_:"), val).otherwise(iri)
+        if pos == "pred":
+            return iri
+        quoted = F.concat(F.lit('"'), _esc_lit_col(val), F.lit('"'))
+        if f"_kind_{v}" in cols:
+            kind = F.col(f"_kind_{v}")
+            lang = (F.col(f"_lang_{v}") if f"_lang_{v}" in cols
+                    else F.lit(None).cast("string"))
+            dt = (F.col(f"_dt_{v}") if f"_dt_{v}" in cols
+                  else F.lit(None).cast("string"))
+            return (F.when(kind == "iri", iri)
+                    .when(kind == "blank", val)
+                    .when(kind == "triple", val)
+                    .when(lang.isNotNull(),
+                          F.concat(quoted, F.lit("@"), lang))
+                    .when(dt.isNotNull(),
+                          F.concat(quoted, F.lit("^^<"), dt, F.lit(">")))
+                    .otherwise(quoted))
+        # no metadata: kind by lexical shape (blank label / nested term /
+        # absolute-IRI scheme shape; else literal) — documented heuristic
+        return (F.when(val.startswith("_:"), val)
+                .when(val.startswith("<<("), val)
+                .when(val.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S"), iri)
+                .otherwise(quoted))
+
+    return F.concat(F.lit("<<( "), render(args[0], "subj"), F.lit(" "),
+                    render(args[1], "pred"), F.lit(" "),
+                    render(args[2], "obj"), F.lit(" )>>"))
 
 
 def _parse_call_args(toks: list[str], i: int) -> tuple[list[list[str]], int]:
@@ -676,6 +821,52 @@ def _expand_macro(name: str, args: list[list[str]],
     if name == "TZ" and len(sql) == 1:
         return (f"regexp_extract({sql[0]}, "
                 "'(Z|[+-]\\\\d{2}:\\\\d{2})$', 1)")
+    if name == "TIMEZONE" and len(sql) == 1:
+        # xsd:dayTimeDuration lexical of the timezone offset (SPARQL
+        # 17.4.5.7): "-05:00" → -PT5H, "+05:30" → PT5H30M, Z → PT0S; a
+        # value with no timezone is an expression error (NULL = unbound)
+        tz = (f"regexp_extract({sql[0]}, "
+              "'(Z|[+-]\\\\d{2}:\\\\d{2})$', 1)")
+        hh = f"try_cast(substring({tz}, 2, 2) AS INT)"
+        mm = f"try_cast(substring({tz}, 5, 2) AS INT)"
+        return (
+            f"(CASE WHEN {tz} = '' THEN NULL "
+            f"WHEN {tz} = 'Z' OR ({hh} = 0 AND {mm} = 0) THEN 'PT0S' "
+            f"ELSE concat("
+            f"CASE WHEN startswith({tz}, '-') THEN '-' ELSE '' END, 'PT', "
+            f"CASE WHEN {hh} > 0 THEN concat(CAST({hh} AS STRING), 'H') "
+            f"ELSE '' END, "
+            f"CASE WHEN {mm} > 0 THEN concat(CAST({mm} AS STRING), 'M') "
+            f"ELSE '' END) END)")
+    if name in ("SUBJECT", "PREDICATE", "OBJECT") and len(sql) == 1:
+        # SPARQL 1.2 triple-term accessors over the stored lexical form
+        # <<( s p o )>> (pipeline/rdfstar.py); a non-triple argument is an
+        # expression error (NULL = unbound).  Same component regexes as
+        # the quoted-triple PATTERN compiler (_compile_quoted).
+        x = sql[0]
+        if name == "SUBJECT":
+            iri = f"regexp_extract({x}, {_sql_rx(_Q_SUBJ_IRI)}, 1)"
+            blank = f"regexp_extract({x}, {_sql_rx(_Q_SUBJ_BLANK)}, 1)"
+            return (f"(CASE WHEN {iri} <> '' THEN {iri} "
+                    f"ELSE nullif({blank}, '') END)")
+        if name == "PREDICATE":
+            return f"nullif(regexp_extract({x}, {_sql_rx(_Q_PRED)}, 1), '')"
+        raw = f"regexp_extract({x}, {_sql_rx(_Q_OBJ)}, 1)"
+        lit = f"regexp_extract({raw}, {_sql_rx(_NT_LIT_BODY)}, 1)"
+        # N-Triples literal unescape, sentinel-guarded exactly like
+        # _unescape_nt_col (backslash first, through char(0))
+        un = f"replace({lit}, '\\\\\\\\', char(0))"
+        un = f"replace({un}, '\\\\\"', '\"')"
+        un = f"replace({un}, '\\\\n', '\\n')"
+        un = f"replace({un}, '\\\\r', '\\r')"
+        un = f"replace({un}, '\\\\t', '\\t')"
+        un = f"replace({un}, char(0), '\\\\')"
+        return (f"(CASE WHEN {raw} = '' THEN NULL "
+                f"WHEN startswith({raw}, '<<(') THEN {raw} "
+                f"WHEN startswith({raw}, '<') THEN "
+                f"regexp_extract({raw}, '^<(.*)>$', 1) "
+                f"WHEN startswith({raw}, '_:') THEN {raw} "
+                f"ELSE {un} END)")
     if name == "SAMETERM" and len(sql) == 2:
         # term identity: lexical form plus kind/lang/datatype whenever the
         # hidden metadata columns are present for both variable args
@@ -749,13 +940,14 @@ def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
                     f"'http://www.w3.org/2001/XMLSchema#string') END)")
             i += 4
             continue
-        elif up in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+        elif up in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISTRIPLE"):
             if i + 3 >= len(toks) or toks[i + 1] != "(" \
                     or not toks[i + 2].startswith("?") or toks[i + 3] != ")":
                 raise SparqlError(f"{up} takes one variable")
             v = toks[i + 2][1:]
             kind = {"ISIRI": "iri", "ISURI": "iri",
-                    "ISLITERAL": "literal", "ISBLANK": "blank"}[up]
+                    "ISLITERAL": "literal", "ISBLANK": "blank",
+                    "ISTRIPLE": "triple"}[up]
             out.append(f"(`_kind_{v}` = '{kind}')")
             i += 4
             continue
@@ -1150,6 +1342,60 @@ def _values_compat_join(plan: DataFrame, bound: set[str], scan: DataFrame,
     return plan.drop(*ren.values()), bound | set(vars_)
 
 
+def _compat_parts_join(plan: DataFrame, scan: DataFrame, keys: list[str],
+                       left_null: set[str], right_null: set[str]
+                       ) -> DataFrame:
+    """SPARQL §10.2 compatibility join as a UNION of plain equi-joins —
+    the scale path (a theta join with ``IS NULL OR =`` disjuncts forces a
+    broadcast-nested-loop, quadratic on large inputs).
+
+    Textbook rewrite: partition each side by its null signature over the
+    nullable shared keys; a (left-part, right-part) pair joins on exactly
+    the keys bound on BOTH sides — hash-joinable equality — and the parts
+    union back, COALESCE re-binding each key from whichever side bound it.
+    2^|left_null| · 2^|right_null| parts; callers cap the nullable-key
+    count (more than 2-3 compat keys in one join is not a real query).
+    The all-null × all-null pairing is a genuine product per the spec
+    (every solution pair is compatible); its inputs are only the rows
+    unbound on EVERY shared key (UNDEF cells / OPTIONAL misses)."""
+    nk = sorted(set(left_null) | set(right_null))
+    ren = {v: f"_cj_{v}" for v in keys}
+    scan2 = scan
+    for v in keys:
+        scan2 = scan2.withColumnRenamed(v, ren[v])
+
+    def _parts(df, null_vars, col_of):
+        out = []
+        for bits in range(1 << len(null_vars)):
+            sig = {v for i, v in enumerate(null_vars) if bits >> i & 1}
+            part = df
+            for v in null_vars:
+                c = col_of(v)
+                part = part.where(c.isNull() if v in sig else c.isNotNull())
+            out.append((sig, part))
+        return out
+
+    joined = []
+    for s_sig, lp in _parts(plan, sorted(left_null), F.col):
+        for t_sig, rp in _parts(scan2, sorted(right_null),
+                                lambda v: F.col(ren[v])):
+            jk = [k for k in keys if k not in s_sig and k not in t_sig]
+            if jk:
+                cond = None
+                for v in jk:
+                    c = F.col(v) == F.col(ren[v])
+                    cond = c if cond is None else cond & c
+                joined.append(lp.join(rp, cond, "inner"))
+            else:
+                joined.append(lp.crossJoin(rp))
+    out = joined[0]
+    for p in joined[1:]:
+        out = out.unionByName(p)
+    for v in keys:
+        out = out.withColumn(v, F.coalesce(F.col(v), F.col(ren[v])))
+    return out.drop(*ren.values())
+
+
 def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
           vars_: set[str], how: str,
           nullable: set[str] | None = None,
@@ -1169,6 +1415,19 @@ def _join(plan: DataFrame, bound: set[str], scan: DataFrame,
     left_null = {k for k in keys if nullable and k in nullable}
     right_null = {k for k in keys if scan_nullable and k in scan_nullable}
     null_keys = sorted(left_null | right_null)
+    if (null_keys and not deferred and how == "inner"
+            and len(null_keys) <= 3):
+        # inner compatibility join without extra ON conditions: take the
+        # union-of-equi-joins scale path instead of a theta join
+        plan = _compat_parts_join(plan, scan, keys, left_null, right_null)
+        if nullable is not None:
+            # a key re-binds (stops being nullable) unless BOTH sides
+            # could be unbound for it
+            nullable -= {k for k in null_keys
+                         if not (k in left_null and k in right_null)}
+            nullable |= {v for v in (scan_nullable or ())
+                         if v not in keys}
+        return plan, bound | vars_
     if null_keys or deferred:
         ren = {v: f"_cj_{v}" for v in keys}
         scan2 = scan
@@ -1288,7 +1547,7 @@ def _meta_vars(elements: list) -> set[str]:
             toks = el[1]
             for i, t in enumerate(toks):
                 if t.upper() in ("LANG", "DATATYPE", "ISIRI", "ISURI",
-                                 "ISLITERAL", "ISBLANK") \
+                                 "ISLITERAL", "ISBLANK", "ISTRIPLE") \
                         and toks[i + 1 : i + 2] == ["("] \
                         and i + 2 < len(toks) and toks[i + 2].startswith("?"):
                     need.add(toks[i + 2][1:])
@@ -1455,7 +1714,8 @@ def _compile_group(triples: DataFrame, group: _Group,
                    needed: set[str] | None = None,
                    out_nullable: set[str] | None = None,
                    outer_bound: set[str] | None = None,
-                   out_deferred: list[list[str]] | None = None
+                   out_deferred: list[list[str]] | None = None,
+                   seed: tuple[DataFrame, set[str]] | None = None
                    ) -> tuple[DataFrame, set[str]]:
     """``out_nullable``: mutable set the caller passes to learn which of
     the returned variables may be NULL = UNDEF-unbound (VALUES UNDEF
@@ -1468,16 +1728,24 @@ def _compile_group(triples: DataFrame, group: _Group,
     those bindings are visible — the substitution semantics EXISTS and
     OPTIONAL need.  A caller that cannot defer passes
     ``out_deferred=None`` and such filters raise loudly (the old
-    unresolved-column crash, with a real message)."""
-    plan: DataFrame | None = None
-    bound: set[str] = set()
+    unresolved-column crash, with a real message).
+
+    ``seed``: optional (DataFrame, vars) the group compiles AGAINST as
+    its initial solution multiset — the EXISTS substitution path seeds
+    the distinct outer bindings a subgroup BIND references so the BIND
+    evaluates with them visible."""
+    plan: DataFrame | None
+    bound: set[str]
+    plan, bound = (seed[0], set(seed[1])) if seed is not None \
+        else (None, set())
     filters: list[list[str]] = []
     exists: list[tuple[bool, _Group]] = []
     # filter-driven metadata vars (LANG/DATATYPE — ambiguity is an error)
     # plus soft requests from CONSTRUCT/UPDATE templates (the solution's
     # own term kind; on multiple object-position bindings the first wins)
     meta_filter = _meta_vars(group.elements)
-    meta = meta_filter | (want_meta or set())
+    meta = meta_filter | (want_meta or set()) \
+        | _triple_bind_vars(group.elements)
     meta_provided: set[str] = set()
     # batch consecutive id-join-eligible patterns into BGP runs
     elements: list = []
@@ -1592,6 +1860,23 @@ def _compile_group(triples: DataFrame, group: _Group,
             expr_toks, alias = el[1], el[2]
             if alias in bound:
                 raise SparqlError(f"BIND reassigns bound variable ?{alias}")
+            if expr_toks and expr_toks[0].upper() == "TRIPLE":
+                t_args, t_end = _parse_call_args(expr_toks, 1)
+                if t_end != len(expr_toks):
+                    raise SparqlError(
+                        "TRIPLE(...) nested inside a larger BIND "
+                        "expression is not supported")
+                plan = plan.withColumn(
+                    alias, _triple_ctor_col(t_args, prefixes, plan))
+                t_guard = F.col(alias).isNotNull()
+                plan = (plan.withColumn(
+                    f"_kind_{alias}", F.when(t_guard, F.lit("triple")))
+                    .withColumn(f"_lang_{alias}",
+                                F.lit(None).cast("string"))
+                    .withColumn(f"_dt_{alias}",
+                                F.lit(None).cast("string")))
+                bound = bound | {alias}
+                continue
             ctor = _term_constructor_bind(expr_toks, prefixes)
             if ctor is not None:
                 # STRLANG/STRDT/IRI build a TYPED term: the value column
@@ -1687,7 +1972,8 @@ def _compile_group(triples: DataFrame, group: _Group,
                 continue
             vars_, how = set(vars_), "inner"
         elif el[0] == "subselect":
-            scan, out_cols = _compile_select(triples, el[1], prefixes, quads)
+            scan, out_cols = _compile_select(triples, el[1], prefixes,
+                                             quads, out_nullable=scan_null)
             vars_, how = set(out_cols), "inner"
         elif el[0] in ("optional", "group", "union"):
             # a subgroup's id-joined runs must decode anything the OUTER
@@ -1715,6 +2001,10 @@ def _compile_group(triples: DataFrame, group: _Group,
                                            out_nullable=scan_null,
                                            outer_bound=_sub_outer())
                 scan = left.unionByName(right, allowMissingColumns=True)
+                # a variable bound in only ONE branch is NULL = unbound on
+                # the other branch's rows: thread it as nullable so later
+                # joins on it use §10.2 compatibility, not SQL equality
+                scan_null |= (lv - rv) | (rv - lv)
                 vars_, how = lv | rv, "inner"
             else:
                 scan, vars_ = _compile_group(triples, el[1], prefixes,
@@ -1738,10 +2028,18 @@ def _compile_group(triples: DataFrame, group: _Group,
             plan, bound = scan, vars_
             nullable |= scan_null
         else:
+            prev_bound = set(bound)
             plan, bound = _join(plan, bound, scan, vars_, how, nullable,
                                 scan_null,
                                 deferred=scan_defer if how == "left"
                                 else None)
+            if how == "left":
+                # §8.3: variables an OPTIONAL introduces are NULL =
+                # unbound on non-matching rows — later elements sharing
+                # them join via §10.2 compatibility exactly like VALUES
+                # UNDEF cells (the r4 machinery; shared keys keep their
+                # left-side binding and stay non-null)
+                nullable |= vars_ - prev_bound
             if scan_defer and how != "left":
                 # inner-joined subgroup (nested {} / GRAPH): applying the
                 # deferred filter after the join IS the ON-condition
@@ -1824,12 +2122,22 @@ def _compile_group(triples: DataFrame, group: _Group,
     for positive, sub in exists:
         e_null: set[str] = set()
         e_def: list[list[str]] = []
+        # substitution semantics for BINDs over outer variables: a BIND
+        # computes columns and cannot defer like a filter — seed the
+        # subgroup with the DISTINCT outer bindings it references, so the
+        # expression evaluates against real values (spec: substitute the
+        # outer solution into the EXISTS pattern).  Seeded vars join the
+        # semi/anti keys through the normal shared-variable machinery.
+        e_seed_vars = _outer_bind_vars(sub, bound)
+        e_seed = ((plan.select(*sorted(e_seed_vars)).distinct(),
+                   e_seed_vars) if e_seed_vars else None)
         sub_plan, sub_vars = _compile_group(triples, sub, prefixes, quads,
                                             extra, needed=set(bound),
                                             out_nullable=e_null,
                                             outer_bound=bound
                                             | (outer_bound or set()),
-                                            out_deferred=e_def)
+                                            out_deferred=e_def,
+                                            seed=e_seed)
         keys = sorted(bound & sub_vars)
         how = "left_semi" if positive else "left_anti"
         null_keys = {k for k in keys if k in nullable or k in e_null}
@@ -2080,11 +2388,16 @@ def _rewrite_having(toks: list[str], items: list[_SelectItem]
 
 def _compile_select(triples: DataFrame, toks: list[str],
                     prefixes: dict[str, str],
-                    quads: DataFrame | None = None
+                    quads: DataFrame | None = None,
+                    out_nullable: set[str] | None = None
                     ) -> tuple[DataFrame, list[str]]:
     """SELECT token list (``SELECT`` through trailing modifiers) →
     (projected plan, output column names).  Shared by ``query()`` and
-    ``{ SELECT ... }`` subqueries."""
+    ``{ SELECT ... }`` subqueries.  ``out_nullable``: mutable set the
+    subselect caller passes to learn which PROJECTED columns may be NULL
+    = unbound (UNDEF cells / OPTIONAL misses surviving the projection) —
+    without it the enclosing group would silently join them with SQL
+    equality."""
     if not toks or toks[0].upper() != "SELECT":
         raise SparqlError("expected SELECT")
     # split SELECT items / WHERE group / tail modifiers
@@ -2115,8 +2428,9 @@ def _compile_select(triples: DataFrame, toks: list[str],
     # id-joined BGP runs skip decoding everything else (SELECT * → all)
     needed = (None if items is None
               else _all_vars(toks[1:w]) | _all_vars(tail))
+    g_null: set[str] = set()
     plan, bound = _compile_group(triples, group, prefixes, quads,
-                                 needed=needed)
+                                 needed=needed, out_nullable=g_null)
 
     # tail: GROUP BY ?v... | HAVING(expr) | ORDER BY [ASC|DESC] (?v)
     #     | LIMIT n | OFFSET n
@@ -2149,6 +2463,23 @@ def _compile_select(triples: DataFrame, toks: list[str],
                         alias, expr_toks = f"_gk{len(group_exprs)}", etoks
                     group_exprs.append((alias, expr_toks))
                     group_by.append(alias)
+                elif (j + 1 < len(tail) and tail[j + 1] == "("
+                      and tail[j].upper() != "HAVING"
+                      and re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", tail[j])):
+                    # GROUP BY STR(?x) — bare builtin-call key (the
+                    # unparenthesized form; groups but is not projectable,
+                    # same as an alias-less (expr) key)
+                    depth, k = 1, j + 2
+                    while k < len(tail) and depth:
+                        depth += {"(": 1, ")": -1}.get(tail[k], 0)
+                        k += 1
+                    if depth:
+                        raise SparqlError(
+                            "unbalanced parens in GROUP BY expression")
+                    alias = f"_gk{len(group_exprs)}"
+                    group_exprs.append((alias, tail[j:k]))
+                    group_by.append(alias)
+                    j = k
                 else:
                     break
         elif up == "HAVING":
@@ -2300,6 +2631,17 @@ def _compile_select(triples: DataFrame, toks: list[str],
         plan = plan.offset(offset)
     if limit is not None:
         plan = plan.limit(limit)
+    if out_nullable is not None:
+        # nullability survives projection for plain (non-aggregated,
+        # non-expression) variables only: aggregates and computed
+        # expressions bind fresh values (NULL there = expression error,
+        # which also reads as unbound — keeping them out is the
+        # conservative choice that never turns an equi-join into a
+        # wrong-answer)
+        plain = (set(out_cols) if items is None else
+                 {it.out_name for it in items
+                  if it.agg is None and it.expr is None})
+        out_nullable |= g_null & plain
     return plan, out_cols
 
 
