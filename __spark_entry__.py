@@ -505,7 +505,14 @@ def q_kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL: every typed subject, with its schema:name when one exists
-    (docs have no name → null → coalesced to '' for dtype-stable hashing)."""
+    (docs have no name → null → coalesced to '' for dtype-stable hashing).
+
+    r5: a second variant joins a LATER pattern on the OPTIONAL-introduced
+    variable — SPARQL §8.3/§10.2 compatibility semantics: an org row
+    (?name bound) equi-joins its own name; a doc row (?name unbound) is
+    compatible with EVERY org name and ?name re-binds (the classic W3C
+    optional-then-join shape SQL left-join null semantics gets wrong).
+    Both variants union into one frame, tagged by ``shape``."""
     from trident_spark.query.sparql import query
 
     res = query(
@@ -517,17 +524,41 @@ def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
             OPTIONAL { ?s schema:name ?name }
         }
         """,
-    )
-    return res.select("s", "t", F.coalesce("name", F.lit("")).alias("name")).distinct()
+    ).select("s", "t", F.coalesce("name", F.lit("")).alias("name"))
+    rejoin = query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?s ?t ?name WHERE {
+            ?s a ?t .
+            OPTIONAL { ?s schema:name ?name }
+            ?org schema:name ?name .
+        }
+        """,
+    ).select("s", "t", F.col("name"))
+    return (res.withColumn("shape", F.lit("optional"))
+            .unionByName(rejoin.withColumn("shape", F.lit("rejoin")))
+            .distinct())
 
 
 _KG_SPARQL_OPTIONAL_ORACLE = f"""
 SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS s,
-       '{SCHEMA}TextDigitalDocument' AS t, '' AS name
+       '{SCHEMA}TextDigitalDocument' AS t, '' AS name, 'optional' AS shape
 FROM documents
 UNION ALL
-SELECT DISTINCT '{DOC_BASE}/org/' || source, '{SCHEMA}Organization', source
+SELECT DISTINCT '{DOC_BASE}/org/' || source, '{SCHEMA}Organization', source,
+       'optional'
 FROM documents
+UNION ALL
+-- rejoin: orgs keep their own name (bound side of the compatibility
+-- join); docs (?name unbound) re-bind to every org name
+SELECT DISTINCT '{DOC_BASE}/org/' || source, '{SCHEMA}Organization', source,
+       'rejoin'
+FROM documents
+UNION ALL
+SELECT DISTINCT '{DOC_BASE}/doc/' || d.doc_id, '{SCHEMA}TextDigitalDocument',
+       o.source, 'rejoin'
+FROM documents d CROSS JOIN (SELECT DISTINCT source FROM documents) o
 """
 
 
@@ -799,7 +830,10 @@ SELECT '_:r' || md5(tt), '{SCHEMA}about', doc, 'iri' FROM p
 def q_kg_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.2 quoted-triple pattern over the reified provider edges:
     bind the embedded (doc, org) components and join the annotation —
-    component extraction is pure Catalyst regexp (no Python)."""
+    component extraction is pure Catalyst regexp (no Python).  r5: the
+    same triple term is also bound whole (?tt) and destructured with the
+    1.2 accessor builtins SUBJECT()/PREDICATE() under an isTRIPLE()
+    guard, so the accessors get a hard oracle row too."""
     from trident_spark.pipeline import rdfstar
     from trident_spark.query.sparql import query
 
@@ -811,10 +845,14 @@ def q_kg_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query(
         reified,
         f"""
-        SELECT ?d ?org ?noted WHERE {{
+        SELECT ?d ?org ?noted ?p ?d2 WHERE {{
             ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
                <<( ?d <{SCHEMA}provider> ?org )>> .
+            ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies> ?tt .
             ?r <{SCHEMA}about> ?noted .
+            FILTER(isTRIPLE(?tt))
+            BIND(PREDICATE(?tt) AS ?p)
+            BIND(SUBJECT(?tt) AS ?d2)
         }}
         """,
     ).distinct()
@@ -823,7 +861,9 @@ def q_kg_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KG_SPARQL_STAR_ORACLE = f"""
 SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS d,
        '{DOC_BASE}/org/' || source AS org,
-       '{DOC_BASE}/doc/' || doc_id AS noted
+       '{DOC_BASE}/doc/' || doc_id AS noted,
+       '{SCHEMA}provider' AS p,
+       '{DOC_BASE}/doc/' || doc_id AS d2
 FROM documents
 """
 
@@ -1736,14 +1776,55 @@ LIMIT {k}
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB near-dup path: LSH-bucket candidate join + exact rescore.
-    Slightly lossy across hyperplane boundaries → rows-only; recall vs the
-    exact blocked-GEMM path is asserted in tests/test_operators.py."""
+    r5: SQL-mirror-oracled like similarity_ann_lsh — the hyperplanes are
+    deterministic constants, so bucket assignment + same-bucket pairing +
+    exact rescore is fully expressible in DuckDB (_near_dup_lsh_oracle);
+    the oracle checks the LSH semantics themselves, not a recall bound."""
     from trident_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.45, use_lsh=True,
         n_bits=8, dim=64,
     ).select("a", "b")
+
+
+def _near_dup_lsh_oracle(threshold: float = 0.45, n_bits: int = 8,
+                         dim: int = 64, seed: int = 11) -> str:
+    """DuckDB mirror of embedding_near_dup_pairs(use_lsh=True): identical
+    deterministic hyperplanes, bucket = sign pattern over the UNIT-normalized
+    vector (matching _normalized → hyperplane_signatures), same-bucket
+    (a < b) candidates, cosine = round(dot of normalized, 4) ≥ threshold.
+
+    Float-boundary audit on the fixed sf0.01 corpus (CLAUDE.md rule 7):
+    min |plane·v| bucket-bit margin 1.1e-3; min |cos − 0.44995| distance to
+    the round-then-compare boundary 3.0e-3 — vs cross-engine summation
+    divergence ≤ ~1e-13, ten orders of magnitude of headroom."""
+    from trident_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    plane_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(v)) for v in row) + "])"
+        for i, row in enumerate(planes)
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES {plane_rows}),
+nv AS (
+  SELECT vec_id,
+         list_transform(
+             embedding,
+             x -> x / sqrt(list_dot_product(embedding, embedding))) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v,
+         CAST(SUM(CASE WHEN list_dot_product(p, v) > 0
+                       THEN (1 << i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM nv, planes GROUP BY vec_id, v
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v), 4) >= {threshold}
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2300,15 +2381,16 @@ FROM documents GROUP BY source
 
 def q_kg_sparql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 function library end-to-end: STR/UCASE/SUBSTR/REPLACE/
-    STRAFTER/STRBEFORE/IF/COALESCE/IN/sameTerm/arithmetic in FILTER and
-    BIND, every value independently recomputed by the DuckDB oracle."""
+    STRAFTER/STRBEFORE/IF/COALESCE/IN/sameTerm/arithmetic/TIMEZONE (r5:
+    xsd:dayTimeDuration lexical — Z, +05:30 and -04:00 offsets) in FILTER
+    and BIND, every value independently recomputed by the DuckDB oracle."""
     from trident_spark.query.sparql import query
 
     return query(
         _doc_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
-        SELECT DISTINCT ?doc ?langU ?srcnum ?sizeclass ?nlen ?nmh WHERE {
+        SELECT DISTINCT ?doc ?langU ?srcnum ?sizeclass ?nlen ?nmh ?tzd WHERE {
             ?doc schema:provider ?org ;
                  schema:inLanguage ?lang ;
                  schema:characterCount ?n .
@@ -2321,6 +2403,9 @@ def q_kg_sparql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     COALESCE(STRBEFORE(?nm, "rc"), "small")) AS ?sizeclass)
             BIND(STRLEN(?nm) - 1 AS ?nlen)
             BIND(MD5(?nm) AS ?nmh)
+            BIND(TIMEZONE(CONCAT("2024-03-01T12:00:00",
+                 IF(?nm = "src1", "Z",
+                    IF(?nm = "src2", "+05:30", "-04:00")))) AS ?tzd)
         }
         """,
     ).withColumn("nlen", F.col("nlen").cast("long"))
@@ -2332,7 +2417,10 @@ SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id AS doc,
        REPLACE(substr(source, 4), '1', '9') AS srcnum,
        CASE WHEN n_chars * 2 >= 1000 THEN 'big' ELSE 's' END AS sizeclass,
        CAST(length(source) - 1 AS BIGINT) AS nlen,
-       md5(source) AS nmh
+       md5(source) AS nmh,
+       CASE WHEN source = 'src1' THEN 'PT0S'
+            WHEN source = 'src2' THEN 'PT5H30M'
+            ELSE '-PT4H' END AS tzd
 FROM documents
 WHERE source IN ('src1', 'src2', 'src3', 'src4')
 """
@@ -2543,10 +2631,9 @@ def oracle_sql() -> dict[str, str]:
         "iri_conformance": _iri_conformance_oracle(),
         "langtag_conformance": _langtag_conformance_oracle(),
         "similarity_ann_ivf": _ann_ivf_oracle(),
+        "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
         # rows-only (approximate / no meaningful oracle):
-        # lang_id (corpus labels are label⟂text noise — see textstats.lang_id),
-        # embedding_near_dup_lsh (lossy across hyperplane boundaries; recall
-        # vs the exact path asserted in tests/)
+        # lang_id (corpus labels are label⟂text noise — see textstats.lang_id)
     }
 
 

@@ -2431,7 +2431,35 @@ def _compile_select(triples: DataFrame, toks: list[str],
     g_null: set[str] = set()
     plan, bound = _compile_group(triples, group, prefixes, quads,
                                  needed=needed, out_nullable=g_null)
+    plan, out_cols = _select_tail(plan, bound, distinct, items, tail)
+    if out_nullable is not None:
+        # nullability survives projection for plain (non-aggregated,
+        # non-expression) variables only: aggregates and computed
+        # expressions bind fresh values (NULL there = expression error,
+        # which also reads as unbound — keeping them out is the
+        # conservative choice that never turns an equi-join into a
+        # wrong-answer)
+        plain = (set(out_cols) if items is None else
+                 {it.out_name for it in items
+                  if it.agg is None and it.expr is None})
+        out_nullable |= g_null & plain
+    return plan, out_cols
 
+
+def _select_tail(plan: DataFrame, bound: set[str], distinct: bool,
+                 items: list[_SelectItem] | None, tail: list[str]
+                 ) -> tuple[DataFrame, list[str]]:
+    """Solution-modifier compiler shared by the lexical engine
+    (:func:`_compile_select`) and the warehouse id-run engine
+    (:func:`query_encoded`) — ONE implementation of GROUP BY (plain /
+    (expr AS ?k) / bare builtin-call keys), HAVING and ORDER BY hidden
+    aggregates, (expr-over-aggregate AS ?v) projections, GROUP BY-only ≡
+    distinct keys, DISTINCT, ORDER/LIMIT/OFFSET.  ``bound`` is the set of
+    variables the incoming plan binds as decoded lexical columns.
+
+    (r5: query_encoded previously carried a reduced private copy of this
+    logic that silently SKIPPED grouping for GROUP BY-only and
+    hidden-HAVING queries — a wrong answer, not a loud reject.)"""
     # tail: GROUP BY ?v... | HAVING(expr) | ORDER BY [ASC|DESC] (?v)
     #     | LIMIT n | OFFSET n
     group_by: list[str] = []
@@ -2631,17 +2659,6 @@ def _compile_select(triples: DataFrame, toks: list[str],
         plan = plan.offset(offset)
     if limit is not None:
         plan = plan.limit(limit)
-    if out_nullable is not None:
-        # nullability survives projection for plain (non-aggregated,
-        # non-expression) variables only: aggregates and computed
-        # expressions bind fresh values (NULL there = expression error,
-        # which also reads as unbound — keeping them out is the
-        # conservative choice that never turns an equi-join into a
-        # wrong-answer)
-        plain = (set(out_cols) if items is None else
-                 {it.out_name for it in items
-                  if it.agg is None and it.expr is None})
-        out_nullable |= g_null & plain
     return plan, out_cols
 
 
@@ -3435,90 +3452,10 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
                        if c.startswith(("_tid_", "_m", "_kind_", "_dt_",
                                         "_lang_"))])
 
-    # tail modifiers — same shapes as _compile_select's
-    return _apply_select_tail(plan, distinct, items, tail, sorted(needed))
+    # tail modifiers: the SAME compiler the lexical engine uses — id-only
+    # scans keep their plans, and every aggregate form (DISTINCT
+    # aggregates, GROUP_CONCAT SEPARATOR, hidden HAVING/ORDER BY
+    # aggregates, GROUP BY expressions, GROUP BY-only ≡ distinct keys)
+    # works identically instead of falling back to the lexical engine
+    return _select_tail(plan, set(needed), distinct, items, tail)[0]
 
-
-def _apply_select_tail(plan: DataFrame, distinct: bool,
-                       items: list | None, tail: list[str],
-                       all_vars: list[str]) -> DataFrame:
-    group_by: list[str] = []
-    having: list[str] | None = None
-    order: list[tuple[str, bool]] = []
-    limit = offset = None
-    j = 0
-    while j < len(tail):
-        up = tail[j].upper()
-        if up == "GROUP" and tail[j + 1 : j + 2] \
-                and tail[j + 1].upper() == "BY":
-            j += 2
-            while j < len(tail) and tail[j].startswith("?"):
-                group_by.append(tail[j][1:])
-                j += 1
-        elif up == "HAVING":
-            depth, k = 1, j + 2
-            while k < len(tail) and depth:
-                depth += {"(": 1, ")": -1}.get(tail[k], 0)
-                k += 1
-            having = tail[j + 2 : k - 1]
-            j = k
-        elif up == "ORDER" and tail[j + 1 : j + 2] \
-                and tail[j + 1].upper() == "BY":
-            j += 2
-            while j < len(tail):
-                desc = False
-                if tail[j].upper() in ("ASC", "DESC"):
-                    desc = tail[j].upper() == "DESC"
-                    j += 1
-                parens = tail[j : j + 1] == ["("]
-                if parens:
-                    j += 1
-                if j >= len(tail) or not tail[j].startswith("?"):
-                    break
-                order.append((tail[j][1:], desc))
-                j += 1
-                if parens:
-                    j += 1
-        elif up == "LIMIT":
-            limit = int(tail[j + 1])
-            j += 2
-        elif up == "OFFSET":
-            offset = int(tail[j + 1])
-            j += 2
-        else:
-            raise SparqlError(f"unexpected token after WHERE: {tail[j]!r}")
-
-    has_agg = items is not None and any(it.agg for it in items)
-    if has_agg:
-        if any(it.expr is not None for it in items):
-            raise SparqlError(
-                "(expr AS ?v) projections cannot mix with aggregates")
-        keys = group_by or [it.var for it in items if it.var]
-        aggs = [_agg_col(it) for it in items if it.agg]
-        if having is not None:
-            htoks, hidden = _rewrite_having(having, items)
-            aggs += [_agg_col(it) for it in hidden]
-        plan = plan.groupBy(*keys).agg(*aggs) if keys else plan.agg(*aggs)
-        if having is not None:
-            plan = plan.where(_filter_sql(htoks))
-        out_cols = [it.out_name for it in items]
-    else:
-        if items is not None:
-            for it in items:
-                if it.expr is not None:
-                    plan = plan.withColumn(
-                        it.alias,
-                        F.expr(_filter_sql(it.expr, set(plan.columns))))
-        out_cols = (all_vars if items is None
-                    else [it.out_name for it in items])
-    plan = plan.select(*out_cols)
-    if distinct:
-        plan = plan.distinct()
-    if order:
-        plan = plan.orderBy(*[
-            F.col(v).desc() if d else F.col(v).asc() for v, d in order])
-    if offset is not None:
-        plan = plan.offset(offset)
-    if limit is not None:
-        plan = plan.limit(limit)
-    return plan
