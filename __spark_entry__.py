@@ -773,14 +773,18 @@ SELECT (COUNT(*) > 0) AS ask FROM documents WHERE lang = 'en'
 
 def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT query form: reversed provider edges as a new graph, with
-    object term kinds recovered from the source graph's term dictionary."""
+    object term kinds recovered from the source graph's term dictionary.
+    r5: the output carries full literal term identity (obj_datatype /
+    obj_lang) — the second template triple constructs a lang-tagged
+    constant, so metadata propagation is oracle-checked too."""
     from trident_spark.query.sparql import construct
 
     return construct(
         _doc_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
-        CONSTRUCT { ?org schema:published ?d }
+        CONSTRUCT { ?org schema:published ?d .
+                    ?d schema:note "indexed"@en }
         WHERE { ?d schema:provider ?org }
         """,
     )
@@ -790,7 +794,13 @@ _KG_SPARQL_CONSTRUCT_ORACLE = f"""
 SELECT DISTINCT '{DOC_BASE}/org/' || source AS subj,
        '{SCHEMA}published' AS pred,
        '{DOC_BASE}/doc/' || doc_id AS obj_lexical,
-       'iri' AS obj_kind
+       'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM documents
+UNION ALL
+SELECT DISTINCT '{DOC_BASE}/doc/' || doc_id, '{SCHEMA}note',
+       'indexed', 'literal', NULL, 'en'
 FROM documents
 """
 

@@ -1440,10 +1440,13 @@ def test_query_encoded_rejects_unsupported(spark, encoded_kg):
     with pytest.raises(SparqlError, match="plain triple patterns"):
         query_encoded(edges, terms,
                       "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o } }")
-    with pytest.raises(SparqlError, match="literal constants"):
-        query_encoded(
-            edges, terms,
-            'SELECT ?s WHERE { ?s <http://p/n> "5"^^<http://dt> . }')
+    # lifted r5: typed/lang-tagged literal constants now hash to the full
+    # term identity id (kind, lexical, datatype, lang) — an unmatched
+    # datatype simply selects nothing instead of raising
+    df = query_encoded(
+        edges, terms,
+        'SELECT ?s WHERE { ?s <http://p/n> "5"^^<http://dt> . }')
+    assert df.count() == 0
 
 
 # r5: the encoded engine shares _select_tail with the lexical engine —
@@ -2375,3 +2378,189 @@ def test_group_by_expression(spark):
         ?s <http://p/n> ?o } GROUP BY (SUBSTR(?o, 1, 1)) ORDER BY DESC(?n)""")
     assert [r["n"] for r in df2.collect()] == [2, 1]
     assert df2.columns == ["n"]
+
+
+# ---------------------------------------------------------------------------
+# r5: full RDF literal term identity — language tags and datatypes are part
+# of the match key for literal constants (patterns, quoted triples, DATA
+# blocks, the encoded engine) and flow through CONSTRUCT/UPDATE templates
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+@pytest.fixture(scope="module")
+def lit_graph(spark):
+    rows = [
+        ("http://s/1", "http://p/n", "hello", "literal", None, "en-US"),
+        ("http://s/2", "http://p/n", "hello", "literal", None, "fr"),
+        ("http://s/3", "http://p/n", "hello", "literal", None, None),
+        ("http://s/4", "http://p/n", "hello", "literal", XSD + "string", None),
+        ("http://s/5", "http://p/n", "hello", "literal", XSD + "token", None),
+        ("http://s/6", "http://p/n", "http://s/1", "iri", None, None),
+    ]
+    return spark.createDataFrame(rows, COLS).cache()
+
+
+def test_literal_constant_lang_match(spark, lit_graph):
+    # BCP 47 tags compare case-insensitively
+    df = query(lit_graph,
+               'SELECT ?s WHERE { ?s <http://p/n> "hello"@en-us . }')
+    assert [r.s for r in df.collect()] == ["http://s/1"]
+
+
+def test_literal_constant_plain_is_simple_literal(spark, lit_graph):
+    # a plain "x" is a simple literal ≡ xsd:string (RDF 1.1) — it must NOT
+    # match lang-tagged or otherwise-typed literals with the same lexical
+    df = query(lit_graph, 'SELECT ?s WHERE { ?s <http://p/n> "hello" . }')
+    assert sorted(r.s for r in df.collect()) == ["http://s/3", "http://s/4"]
+
+
+def test_literal_constant_datatype_match(spark, lit_graph):
+    df = query(lit_graph, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s <http://p/n> "hello"^^xsd:token . }""")
+    assert [r.s for r in df.collect()] == ["http://s/5"]
+    df2 = query(lit_graph, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s <http://p/n> "hello"^^xsd:string . }""")
+    assert sorted(r.s for r in df2.collect()) == ["http://s/3", "http://s/4"]
+
+
+def test_literal_match_without_metadata_columns_is_lexical(spark):
+    # frames that record no lang/datatype keep the historical lexical match
+    rows = [("http://s/1", "http://p/n", "hello", "literal")]
+    g = spark.createDataFrame(
+        rows, "subj string, pred string, obj_lexical string, obj_kind string")
+    df = query(g, 'SELECT ?s WHERE { ?s <http://p/n> "hello"@en . }')
+    assert df.count() == 1
+
+
+def test_update_delete_data_term_identity(spark, lit_graph):
+    from trident_spark.query.sparql import update
+
+    out = update(lit_graph,
+                 'DELETE DATA { <http://s/1> <http://p/n> "hello"@en-US . }')
+    assert out.count() == 5
+    assert out.where(out.subj == "http://s/1").count() == 0
+    # plain deletes simple + xsd:string forms, not lang/other-typed rows
+    out = update(lit_graph, """DELETE DATA {
+        <http://s/3> <http://p/n> "hello" .
+        <http://s/4> <http://p/n> "hello" . }""")
+    assert out.count() == 4
+    # a datatype that does not match deletes nothing
+    out = update(lit_graph, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        DELETE DATA { <http://s/5> <http://p/n> "hello"^^xsd:short . }""")
+    assert out.count() == 6
+
+
+def test_update_insert_data_carries_type_and_lang(spark, lit_graph):
+    from trident_spark.query.sparql import update
+
+    out = update(lit_graph, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        INSERT DATA {
+            <http://s/9> <http://p/n> "42"^^xsd:integer .
+            <http://s/9> <http://p/m> "bonjour"@fr .
+        }""")
+    rows = {(r.pred, r.obj_datatype, r.obj_lang)
+            for r in out.where(out.subj == "http://s/9").collect()}
+    assert rows == {("http://p/n", XSD + "integer", None),
+                    ("http://p/m", None, "fr")}
+
+
+def test_construct_carries_literal_metadata(spark, lit_graph):
+    from trident_spark.query.sparql import construct
+
+    c = construct(lit_graph, """
+        CONSTRUCT { ?s <http://p/m> ?o }
+        WHERE { ?s <http://p/n> ?o . FILTER(isLiteral(?o)) }""")
+    assert c.columns == ["subj", "pred", "obj_lexical", "obj_kind",
+                         "obj_datatype", "obj_lang"]
+    got = sorted((r.subj, r.obj_datatype or "-", r.obj_lang or "-")
+                 for r in c.collect())
+    assert got == [("http://s/1", "-", "en-US"), ("http://s/2", "-", "fr"),
+                   ("http://s/3", "-", "-"),
+                   ("http://s/4", XSD + "string", "-"),
+                   ("http://s/5", XSD + "token", "-")]
+    # constants in the template carry their own tags
+    c2 = construct(lit_graph, """
+        CONSTRUCT { ?s <http://p/t> "tagged"@en-GB }
+        WHERE { ?s <http://p/n> "hello"@fr }""")
+    r = c2.collect()[0]
+    assert (r.obj_lang, r.obj_datatype) == ("en-GB", None)
+
+
+def test_update_template_preserves_binding_metadata(spark, lit_graph):
+    from trident_spark.query.sparql import update
+
+    # copy every literal to a new predicate: lang/datatype must survive
+    out = update(lit_graph, """
+        DELETE { ?s <http://p/n> ?o }
+        INSERT { ?s <http://p/archived> ?o }
+        WHERE { ?s <http://p/n> ?o . FILTER(isLiteral(?o)) }""")
+    # only the IRI-object row escapes the isLiteral() WHERE filter
+    left = out.where(out.pred == "http://p/n").collect()
+    assert [r.subj for r in left] == ["http://s/6"]
+    rows = {(r.obj_datatype or "-", r.obj_lang or "-")
+            for r in out.where(out.pred == "http://p/archived").collect()}
+    assert rows == {("-", "en-US"), ("-", "fr"), ("-", "-"),
+                    (XSD + "string", "-"), (XSD + "token", "-")}
+
+
+def test_encoded_literal_constant_term_identity(spark):
+    from trident_spark.pipeline.kg import encode_triples
+    from trident_spark.query.sparql import query_encoded
+
+    rows = [
+        ("u", None, "s", "http://s/1", "http://p/n", "hello", "literal",
+         None, "en-US"),
+        ("u", None, "s", "http://s/2", "http://p/n", "hello", "literal",
+         None, "fr"),
+        ("u", None, "s", "http://s/3", "http://p/n", "hello", "literal",
+         None, None),
+        ("u", None, "s", "http://s/5", "http://p/n", "hello", "literal",
+         XSD + "token", None),
+    ]
+    sk = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, source string, subj string, "
+              "pred string, obj_lexical string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    terms, edges = encode_triples(sk)
+    # the constant's tag canonicalizes (RFC 5646 §4.5) before hashing, so
+    # any case variant finds the stored en-US id
+    df = query_encoded(edges, terms,
+                       'SELECT ?s WHERE { ?s <http://p/n> "hello"@EN-us . }')
+    assert [r.s for r in df.collect()] == ["http://s/1"]
+    df = query_encoded(edges, terms, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s <http://p/n> "hello"^^xsd:token . }""")
+    assert [r.s for r in df.collect()] == ["http://s/5"]
+
+
+def test_quoted_triple_literal_constant_lang(spark):
+    rows = [
+        ("_:r1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies",
+         '<<( <http://s/1> <http://p/n> "hello"@en )>>', "triple",
+         None, None),
+        ("_:r2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies",
+         '<<( <http://s/2> <http://p/n> "hello"@fr )>>', "triple",
+         None, None),
+        ("_:r3", "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies",
+         '<<( <http://s/3> <http://p/n> "hello" )>>', "triple",
+         None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        SELECT ?d WHERE {
+            ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+               <<( ?d <http://p/n> "hello"@EN )>> .
+        }""")
+    assert [r.d for r in df.collect()] == ["http://s/1"]
+    df = query(g, """
+        SELECT ?d WHERE {
+            ?r <http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>
+               <<( ?d <http://p/n> "hello" )>> .
+        }""")
+    assert [r.d for r in df.collect()] == ["http://s/3"]

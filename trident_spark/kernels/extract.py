@@ -661,8 +661,16 @@ def _jsonld_value(subj, pred, value, ctx, vocab, prefixes, out,
             if isinstance(vdt, str):
                 dt = _expand_term(vdt, vocab, prefixes, ctx) or dt
             lang = value.get("@language")
+            lang = lang if isinstance(lang, str) else None
+            # JSON-LD 1.1 @direction → RDF 1.2 base direction, carried as
+            # the `tag--dir` lang form (the N-Triples 1.2 surface syntax);
+            # @direction without @language has no dirLangString mapping
+            # and is ignored, per the JSON-LD→RDF 1.2 rules
+            direction = value.get("@direction")
+            if lang and direction in ("ltr", "rtl"):
+                lang = f"{lang}--{direction}"
             out.append(RawTriple(subj, pred, lex, "literal", dt,
-                                 lang if isinstance(lang, str) else None, "jsonld"))
+                                 lang, "jsonld"))
             return
         ref = _jsonld_node(value, ctx, vocab, prefixes, out, coerce)
         if ref is not None:

@@ -99,8 +99,17 @@ def _node_dict(subj: str, pos) -> dict:
                 vals.append({"@id": p["obj_lexical"]})
             elif kind == "literal":
                 if p["obj_lang"]:
-                    vals.append({"@value": p["obj_lexical"],
-                                 "@language": p["obj_lang"]})
+                    lang = p["obj_lang"]
+                    # RDF 1.2 base direction (`tag--dir` lang form) →
+                    # JSON-LD 1.1 @direction
+                    if "--" in lang:
+                        lang, _, direction = lang.partition("--")
+                        vals.append({"@value": p["obj_lexical"],
+                                     "@language": lang,
+                                     "@direction": direction})
+                    else:
+                        vals.append({"@value": p["obj_lexical"],
+                                     "@language": lang})
                 elif p["obj_datatype"]:
                     vals.append({"@value": p["obj_lexical"],
                                  "@type": p["obj_datatype"]})

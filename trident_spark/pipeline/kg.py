@@ -67,12 +67,22 @@ def normalize_literal_langs(skolemized: DataFrame) -> DataFrame:
     """
     from trident_spark.functions.langtag_funcs import langtag_normalize
 
-    norm = langtag_normalize(F.col("obj_lang"))
+    # RDF 1.2 base direction rides on the tag as `--ltr`/`--rtl` (the
+    # N-Triples 1.2 surface form): canonicalize the tag part, re-attach
+    # the direction.  A malformed direction suffix leaves '--' inside the
+    # tag handed to the kernel, which rejects it → null, same as any
+    # other bogus tag.
+    lang = F.col("obj_lang")
+    direction = F.regexp_extract(lang, "--(ltr|rtl)$", 1)
+    base = F.regexp_replace(lang, "--(ltr|rtl)$", "")
+    norm = langtag_normalize(base)["tag"]
     return skolemized.withColumn(
         "obj_lang",
-        F.when(F.col("obj_lang").isNull(), F.lit(None).cast("string")).otherwise(
-            norm["tag"]
-        ),
+        F.when(lang.isNull(), F.lit(None).cast("string"))
+        .when((direction != "") & norm.isNotNull(),
+              F.concat(norm, F.lit("--"), direction))
+        .when(direction != "", F.lit(None).cast("string"))
+        .otherwise(norm),
     )
 
 

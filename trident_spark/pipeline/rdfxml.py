@@ -403,6 +403,14 @@ def _render_subject(subj: str, pos) -> str:
             props.append(f'{open_} rdf:nodeID="{label}"/>')
         elif kind == "literal":
             body = _esc_text(p["obj_lexical"])
+            if p["obj_lang"] and "--" in p["obj_lang"]:
+                # RDF/XML has no syntax for RDF 1.2 base direction
+                # (xml:lang carries only the language tag) — serializing
+                # one silently as @lang would corrupt the round-trip
+                raise ValueError(
+                    "RDF/XML cannot express a base-direction literal "
+                    f"(lang {p['obj_lang']!r}); use Turtle/N-Triples/"
+                    "JSON-LD for directional text")
             if p["obj_lang"]:
                 # escape: a lang tag parsed from a single-quoted XML
                 # attribute may legally carry '"' or '<' — interpolating

@@ -277,6 +277,9 @@ _NT_LINE = re.compile(
 _UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
 _UNESCAPE_RE = re.compile(r"\\[\\\"nrt]")
 
+# N-Triples 1.2 LANG_DIR: tag + optional base direction '--ltr'/'--rtl'
+_LANG_DIR = re.compile(r"^[A-Za-z]+(?:-[A-Za-z0-9]+)*--(?:ltr|rtl)$")
+
 # RDF 1.2 (N-Triples 1.2) triple-term object: <<( ... )>> stored verbatim as
 # the canonical lexical form.  Greedy .* lands on the LAST ')>>' so nested
 # terms stay inside the object and a trailing graph IRI is not swallowed.
@@ -308,8 +311,13 @@ def parse_nquads_line(line: str):
         return (subj, m.group("p"), m.group("o_blank"), "blank", None, None, g)
     raw = m.group("o_lit")
     lex = _UNESCAPE_RE.sub(lambda mm: _UNESCAPE[mm.group(0)], raw)
+    lang = m.group("lang")
+    if lang is not None and "--" in lang and not _LANG_DIR.match(lang):
+        # N-Triples 1.2 LANG_DIR: a '--' suffix must be exactly one
+        # lowercase 'ltr'/'rtl' — anything else is a malformed line
+        return None
     return (subj, m.group("p"), lex, "literal", m.group("dt"),
-            m.group("lang"), g)
+            lang, g)
 
 
 def parse_ntriples_line(line: str):

@@ -73,6 +73,9 @@ _TOKEN_RE = re.compile(
 
 _COMMENT_SAFE = re.compile(r'(<[^>]*>|"(?:[^"\\]|\\.)*")|#[^\n]*')
 
+# Turtle/N-Triples 1.2 LANG_DIR: BCP47-shaped tag + optional '--ltr'/'--rtl'
+_LANG_DIR_RE = re.compile(r"^[A-Za-z]+(?:-[A-Za-z0-9]+)*--(?:ltr|rtl)$")
+
 _UNESCAPE = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r",
              "\\t": "\t", "\\b": "\b", "\\f": "\f", "\\'": "'"}
 # one pass over ALL escape sequences: named, numeric (\uXXXX/\UXXXXXXXX),
@@ -297,7 +300,13 @@ class _Parser:
             lex = _UNESCAPE_RE.sub(_unescape_one, tok[1:-1])
             nxt = self._peek()
             if nxt is not None and nxt.startswith("@"):
-                return lex, "literal", None, self._next()[1:]
+                lang = self._next()[1:]
+                # Turtle 1.2 LANG_DIR: an optional base direction rides on
+                # the tag as `--ltr` / `--rtl` (lowercase, exactly one)
+                if "--" in lang and not _LANG_DIR_RE.match(lang):
+                    raise TurtleError(f"invalid language-direction tag "
+                                      f"@{lang!r}")
+                return lex, "literal", None, lang
             if nxt == "^^":
                 self._next()
                 dt_tok = self._next()

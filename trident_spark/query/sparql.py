@@ -82,6 +82,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>\s]*)>", re.IGNORECASE)
 
@@ -330,6 +331,52 @@ def _term_value(tok: str, prefixes: dict[str, str]) -> str:
         m = re.match(r'"((?:[^"\\]|\\.)*)"', tok)
         return _decode_echars(m.group(1))
     return _expand(tok, prefixes)
+
+
+_LIT_TOK_RE = re.compile(
+    r'^"(?:[^"\\]|\\.)*"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^(?P<dt>\S+))?$')
+
+
+def _literal_parts(tok: str, prefixes: dict[str, str]
+                   ) -> tuple[str, str | None, str | None]:
+    """Literal token → (lexical value, language tag | None,
+    expanded datatype IRI | None).  The full RDF term identity of the
+    constant — pattern matching, DATA blocks and the encoded engine all
+    decompose through here so ``"x"@en`` / ``"x"^^xsd:token`` constants
+    match on lang/datatype too, not the lexical form alone."""
+    m = _LIT_TOK_RE.match(tok)
+    if not m:
+        raise SparqlError(f"malformed literal token {tok!r}")
+    dt = m.group("dt")
+    return (_term_value(tok, prefixes), m.group("lang"),
+            _expand(dt, prefixes) if dt else None)
+
+
+def _literal_match_cond(lex_col, value: str, lang: str | None,
+                        dt: str | None, cols,
+                        kind_col="obj_kind",
+                        lang_col="obj_lang", dt_col="obj_datatype"):
+    """Spark condition matching a literal CONSTANT against a lexical frame
+    by full RDF 1.1 term identity: language tags compare case-insensitively
+    (BCP 47); a plain ``"x"`` is a simple literal ≡ ``xsd:string``.
+
+    ``cols`` is the frame's column set — a frame that records no
+    lang/datatype metadata (both columns optional in the ``query()``
+    contract) keeps the historical lexical-form match for the missing
+    dimension rather than matching nothing."""
+    cond = (F.col(kind_col) == "literal") & (lex_col == value)
+    has_lang, has_dt = lang_col in cols, dt_col in cols
+    if lang is not None:
+        return (cond & (F.lower(F.col(lang_col)) == lang.lower())
+                if has_lang else cond)
+    if has_lang:
+        cond &= F.col(lang_col).isNull()
+    if not has_dt:
+        return cond
+    simple = F.col(dt_col).isNull() | (F.col(dt_col) == XSD_STRING)
+    if dt is not None and dt != XSD_STRING:
+        return cond & (F.col(dt_col) == dt)
+    return cond & simple
 
 
 def _parse_group(toks: list[str], i: int) -> tuple[_Group, int]:
@@ -923,19 +970,34 @@ def _filter_sql(toks: list[str], cols: set[str] | None = None) -> str:
                 out.append(f"(`{var[1:]}` IS NOT NULL)")
             i += 4
             continue
-        elif up in ("LANG", "DATATYPE"):
+        elif up in ("LANG", "DATATYPE", "LANGDIR", "HASLANG", "HASLANGDIR"):
             if i + 3 >= len(toks) or toks[i + 1] != "(" \
                     or not toks[i + 2].startswith("?") or toks[i + 3] != ")":
                 raise SparqlError(f"{up} takes one variable")
             v = toks[i + 2][1:]
+            # RDF 1.2 base direction rides on the stored tag as
+            # `tag--ltr|rtl`: LANG() returns the tag alone, LANGDIR() the
+            # direction ('' when none), per SPARQL 1.2 §17.4.2
+            base = f"regexp_replace(`_lang_{v}`, '--(ltr|rtl)$', '')"
+            direction = f"regexp_extract(`_lang_{v}`, '--(ltr|rtl)$', 1)"
             if up == "LANG":
                 # SPARQL LANG() returns "" for plain literals
-                out.append(f"coalesce(`_lang_{v}`, '')")
+                out.append(f"coalesce({base}, '')")
+            elif up == "LANGDIR":
+                out.append(f"coalesce({direction}, '')")
+            elif up == "HASLANG":
+                out.append(f"(coalesce({base}, '') != '')")
+            elif up == "HASLANGDIR":
+                out.append(f"(coalesce({direction}, '') != '')")
             else:
-                # lang-tagged → rdf:langString; plain → xsd:string
+                # dir-lang → rdf:dirLangString; lang → rdf:langString;
+                # plain → its datatype, default xsd:string
+                rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
                 out.append(
-                    f"(CASE WHEN `_lang_{v}` IS NOT NULL THEN "
-                    f"'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'"
+                    f"(CASE WHEN {direction} != '' THEN "
+                    f"'{rdf_ns}dirLangString' "
+                    f"WHEN `_lang_{v}` IS NOT NULL THEN "
+                    f"'{rdf_ns}langString'"
                     f" ELSE coalesce(`_dt_{v}`, "
                     f"'http://www.w3.org/2001/XMLSchema#string') END)")
             i += 4
@@ -1206,9 +1268,25 @@ def _compile_quoted(triples: DataFrame, pat: _Pattern,
             rename[name] = term[1:]
         elif term.startswith('"') and name == "q_obj":
             # constants compare on the RENDERED form — escaping parity
-            # with the writer, no decode needed
-            scan = scan.where(
-                raw_obj == '"' + _escape_nt(_term_value(term, prefixes)) + '"')
+            # with the writer, no decode needed.  Full term identity: the
+            # rendered suffix carries @lang / ^^<dt>, so split it off and
+            # compare each dimension (lang case-insensitively per BCP 47)
+            value, c_lang, c_dt = _literal_parts(term, prefixes)
+            quoted_part = '"' + _escape_nt(value) + '"'
+            r_lit = F.regexp_extract(raw_obj, r'^("(?:[^"\\]|\\.)*")', 1)
+            r_lang = F.regexp_extract(
+                raw_obj, r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9\-]+)$', 1)
+            r_dt = F.regexp_extract(
+                raw_obj, r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
+            cond = r_lit == quoted_part
+            if c_lang is not None:
+                cond &= F.lower(r_lang) == c_lang.lower()
+            elif c_dt is not None and c_dt != XSD_STRING:
+                cond &= r_dt == c_dt
+            else:
+                cond &= ((r_lang == "")
+                         & ((r_dt == "") | (r_dt == XSD_STRING)))
+            scan = scan.where(cond)
         else:
             scan = scan.where(expr == _expand(term, prefixes))
 
@@ -1270,10 +1348,9 @@ def _compile_pattern(triples: DataFrame, pat: _Pattern,
             rename[col] = term[1:]
         else:
             if col == "obj_lexical" and term.startswith('"'):
-                scan = scan.where(
-                    (F.col("obj_kind") == "literal")
-                    & (F.col(col) == _term_value(term, prefixes))
-                )
+                value, c_lang, c_dt = _literal_parts(term, prefixes)
+                scan = scan.where(_literal_match_cond(
+                    F.col(col), value, c_lang, c_dt, set(triples.columns)))
                 continue
             if col == "obj_lexical" and _PLAIN_SCALAR.match(term):
                 # numeric/boolean shorthand → typed-literal match (lexical
@@ -1546,7 +1623,8 @@ def _meta_vars(elements: list) -> set[str]:
         if isinstance(el, tuple) and el and el[0] == "filter":
             toks = el[1]
             for i, t in enumerate(toks):
-                if t.upper() in ("LANG", "DATATYPE", "ISIRI", "ISURI",
+                if t.upper() in ("LANG", "DATATYPE", "LANGDIR", "HASLANG",
+                                 "HASLANGDIR", "ISIRI", "ISURI",
                                  "ISLITERAL", "ISBLANK", "ISTRIPLE") \
                         and toks[i + 1 : i + 2] == ["("] \
                         and i + 2 < len(toks) and toks[i + 2].startswith("?"):
@@ -2813,13 +2891,16 @@ def describe(triples: DataFrame, sparql: str) -> DataFrame:
 @_public
 def construct(triples: DataFrame, sparql: str) -> DataFrame:
     """CONSTRUCT { template } WHERE { ... } → a lexical-triples DataFrame
-    (subj, pred, obj_lexical, obj_kind).
+    (subj, pred, obj_lexical, obj_kind, obj_datatype, obj_lang).
 
-    Term kinds for variable objects are recovered by joining the source
-    graph's term dictionary (a term seen anywhere as IRI counts as IRI);
-    datatype/language tags are not tracked through variables — constructed
-    literals are plain, documented as a simplification of RDF 1.1
-    CONSTRUCT semantics."""
+    Term kinds for variable objects are recovered from the solution's own
+    hidden _kind_ metadata when the WHERE group binds the variable in
+    object position (want_meta), else by joining the source graph's term
+    dictionary (a term seen anywhere as IRI counts as IRI).  Literal term
+    identity flows through: constant objects carry their ``@lang`` /
+    ``^^dt``, object-position variables the matched term's own
+    datatype/lang; variables bound only in subject position or behind
+    UNION/OPTIONAL yield NULL datatype/lang (documented residual)."""
     # quads input: SPARQL dataset semantics, same as query()/describe() —
     # top-level WHERE patterns see the default graph, GRAPH the named ones
     if "graph" in triples.columns:
@@ -2904,6 +2985,8 @@ def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
             return F.concat(F.lit("_:c"), F.md5(key)), F.lit("blank")
         return F.lit(_expand(term, prefixes)), F.lit("iri")
 
+    null_s = F.lit(None).cast("string")
+
     outs = []
     for pat in template:
         if isinstance(pat.pred, tuple):
@@ -2911,16 +2994,35 @@ def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
         s_col, _ = term_col(pat.subj)
         p_col, _ = term_col(pat.pred)
         o_col, o_kind = term_col(pat.obj)
+        # literal term identity: datatype/lang flow through the template —
+        # a constant carries its own @lang/^^dt; a variable carries the
+        # matched term's hidden _dt_/_lang_ metadata when the WHERE group
+        # provided it (want_meta), NULL otherwise
+        o_dt = o_lang = null_s
+        if pat.obj.startswith('"'):
+            _, c_lang, c_dt = _literal_parts(pat.obj, prefixes)
+            o_dt = F.lit(c_dt).cast("string")
+            o_lang = F.lit(c_lang).cast("string")
+        elif pat.obj.startswith("?"):
+            v = pat.obj[1:]
+            if f"_dt_{v}" in plan.columns:
+                o_dt = F.col(f"_dt_{v}")
+            if f"_lang_{v}" in plan.columns:
+                o_lang = F.col(f"_lang_{v}")
         if o_kind is None and pat.obj.startswith("?") \
                 and f"_kind_{pat.obj[1:]}" in plan.columns:
             o_kind = F.col(f"_kind_{pat.obj[1:]}")
         if o_kind is not None:
             row = plan.select(s_col.alias("subj"), p_col.alias("pred"),
                               o_col.alias("obj_lexical"),
-                              o_kind.alias("obj_kind"))
+                              o_kind.alias("obj_kind"),
+                              o_dt.alias("obj_datatype"),
+                              o_lang.alias("obj_lang"))
         else:
             row = plan.select(s_col.alias("subj"), p_col.alias("pred"),
-                              o_col.alias("obj_lexical"))
+                              o_col.alias("obj_lexical"),
+                              o_dt.alias("obj_datatype"),
+                              o_lang.alias("obj_lang"))
             # NOT broadcast: the term dictionary is O(graph); equi-join and
             # let AQE choose (it broadcasts automatically on small graphs)
             row = (
@@ -2928,7 +3030,7 @@ def _instantiate(triples: DataFrame, template: list, plan: DataFrame,
                          row["obj_lexical"] == kinds["_term"], "left")
                 .select("subj", "pred", "obj_lexical",
                         F.coalesce("_kind", F.lit("literal"))
-                        .alias("obj_kind"))
+                        .alias("obj_kind"), "obj_datatype", "obj_lang")
             )
         outs.append(row)
     result = outs[0]
@@ -2952,19 +3054,52 @@ def _ground_rows(group: _Group, prefixes: dict[str, str]) -> list[tuple]:
         for t in (el.subj, el.pred, el.obj):
             if t.startswith("?"):
                 raise SparqlError("DATA blocks cannot contain variables")
-        okind = ("literal" if el.obj.startswith('"')
-                 else "blank" if el.obj.startswith("_:") else "iri")
+        if el.obj.startswith('"'):
+            value, lang, dt = _literal_parts(el.obj, prefixes)
+            okind = "literal"
+        else:
+            value = _term_value(el.obj, prefixes)
+            lang = dt = None
+            okind = "blank" if el.obj.startswith("_:") else "iri"
         rows.append((
             el.subj if el.subj.startswith("_:")
             else _expand(el.subj, prefixes),
             _expand(el.pred, prefixes),
-            _term_value(el.obj, prefixes),
+            value,
             okind,
+            dt,
+            lang,
         ))
     return rows
 
 
 _CORE = ["subj", "pred", "obj_lexical", "obj_kind"]
+_LIT_META = ["obj_datatype", "obj_lang"]
+
+
+def _anti_by_term(out: DataFrame, delete_df: DataFrame,
+                  extra_keys: list[str] = []) -> DataFrame:
+    """``out`` minus ``delete_df``, matched by full RDF term identity:
+    the _CORE key plus — when the base frame records them — obj_datatype
+    and obj_lang, compared null-safely with ``"x"^^xsd:string`` ≡ plain
+    ``"x"`` (RDF 1.1 identifies the two).  Null-safe equality keys stay
+    hash-joinable (Spark plans EqualNullSafe as a shuffled/broadcast hash
+    join — never a theta join)."""
+    meta = [c for c in _LIT_META
+            if c in out.columns and c in delete_df.columns]
+    keys = _CORE + extra_keys
+    d = delete_df.select(*(keys + meta)).distinct()
+    d = d.select(*[F.col(c).alias(f"_del_{c}") for c in keys + meta])
+    cond = None
+    for c in keys + meta:
+        left, right = F.col(c), F.col(f"_del_{c}")
+        if c == "obj_datatype":
+            left = F.nullif(left, F.lit(XSD_STRING))
+            right = F.nullif(right, F.lit(XSD_STRING))
+        e = (left.eqNullSafe(right) if c in _LIT_META + ["graph"]
+             else left == right)
+        cond = e if cond is None else cond & e
+    return out.join(d, cond, "left_anti")
 
 
 @_public
@@ -2978,11 +3113,11 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
     ``DELETE WHERE { patterns }``, and the template form
     ``[DELETE { t }] [INSERT { t }] WHERE { group }``.
 
-    Deletion matches on (subj, pred, obj_lexical, obj_kind) — datatype and
-    language tags are not part of the match key (documented simplification;
-    same-lexical literals with different datatypes delete together).
-    Inserted rows carry NULL datatype/lang and NULL for any extra columns
-    of the input frame."""
+    Deletion matches on full RDF term identity: (subj, pred, obj_lexical,
+    obj_kind) plus — whenever the input frame records them — obj_datatype
+    and obj_lang (null-safe; ``"x"^^xsd:string`` ≡ plain ``"x"`` per
+    RDF 1.1).  Inserted literal rows carry their @lang / ^^datatype;
+    extra columns of the input frame stay NULL on inserted rows."""
     if "graph" in triples.columns:
         raise SparqlError(
             "update() on a quads frame would delete across every graph — "
@@ -2995,16 +3130,17 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
     def insert_frame(rows: list[tuple]) -> DataFrame:
         return spark.createDataFrame(
             rows, "subj string, pred string, obj_lexical string, "
-                  "obj_kind string")
+                  "obj_kind string, obj_datatype string, obj_lang string")
 
     def apply(delete_df: DataFrame | None,
               insert_df: DataFrame | None) -> DataFrame:
         out = triples
         if delete_df is not None:
-            out = out.join(delete_df.select(*_CORE).distinct(),
-                           _CORE, "left_anti")
+            out = _anti_by_term(out, delete_df)
         if insert_df is not None:
-            out = out.unionByName(insert_df.select(*_CORE).distinct(),
+            keep = [c for c in _CORE + _LIT_META
+                    if c in triples.columns or c in _CORE]
+            out = out.unionByName(insert_df.select(*keep).distinct(),
                                   allowMissingColumns=True)
         return out
 
@@ -3140,8 +3276,9 @@ def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
     and the template form with ``WITH <g>``, ``USING <g>`` dataset
     clauses, and ``GRAPH { }`` template blocks.
 
-    Deletion matches on (subj, pred, obj_lexical, obj_kind, graph) —
-    null-safe on graph, so default-graph rows delete correctly."""
+    Deletion matches on full term identity — (subj, pred, obj_lexical,
+    obj_kind, graph) plus obj_datatype/obj_lang when the frame records
+    them; null-safe on graph, so default-graph rows delete correctly."""
     toks, prefixes = _prep(sparql)
     if not toks:
         raise SparqlError("empty update")
@@ -3204,14 +3341,11 @@ def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
                 insert_df: DataFrame | None) -> DataFrame:
         out = quads
         if delete_df is not None:
-            d = delete_df.select(
-                *_CORE,
-                F.coalesce("graph", F.lit("")).alias("_g")).distinct()
-            out = (out.withColumn("_g", F.coalesce("graph", F.lit("")))
-                   .join(d, _CORE + ["_g"], "left_anti").drop("_g"))
+            out = _anti_by_term(out, delete_df, extra_keys=["graph"])
         if insert_df is not None:
+            keep = _QCORE + [c for c in _LIT_META if c in quads.columns]
             out = out.unionByName(
-                insert_df.select(*_QCORE).distinct(),
+                insert_df.select(*keep).distinct(),
                 allowMissingColumns=True)
         return out
 
@@ -3229,7 +3363,8 @@ def update_quads(quads: DataFrame, sparql: str) -> DataFrame:
                 rows += [r + (None,) for r in _ground_rows(one, prefixes)]
         return spark.createDataFrame(
             rows, "subj string, pred string, obj_lexical string, "
-                  "obj_kind string, graph string")
+                  "obj_kind string, obj_datatype string, obj_lang string, "
+                  "graph string")
 
     if head in ("INSERT", "DELETE") and len(toks) > 1 \
             and toks[1].upper() == "DATA":
@@ -3391,12 +3526,18 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
 
     def const_id(term: str, pos: str) -> int:
         if pos == "obj" and term.startswith('"'):
-            if not term.endswith('"'):
-                raise SparqlError(
-                    "typed/lang-tagged literal constants are not supported "
-                    "in query_encoded (plain literals only)")
-            value = _term_value(term, prefixes)
-            return spark_xxhash64("literal", value, "", "")
+            value, lang, dt = _literal_parts(term, prefixes)
+            if lang is not None:
+                # stored tags are canonicalized (normalize_literal_langs,
+                # RFC 5646 §4.5) — canonicalize the constant's tag the
+                # same way so `"x"@EN-us` hashes to the stored `en-US` id
+                from trident_spark.kernels import langtag as L
+                try:
+                    lang = L.normalize(lang, L.load_registry()).tag
+                except L.LangTagError:
+                    pass  # invalid tag: hash as-is (matches nothing,
+                    # like the lexical engine, where the pipeline nulls it)
+            return spark_xxhash64("literal", value, dt or "", lang or "")
         if pos == "obj" and _PLAIN_SCALAR.match(term):
             # NB: ids include the datatype, so this matches PLAIN literals
             # with this lexical form (a stored "42"^^xsd:integer has a
