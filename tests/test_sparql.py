@@ -1706,6 +1706,26 @@ def test_term_constructors_attach_metadata(spark):
     assert df2.first()["y"] == "hola!"
 
 
+def test_strlangdir_constructor(spark):
+    """STRLANGDIR (SPARQL 1.2 §17.4.2) builds an rdf:dirLangString —
+    LANG() sees the bare tag, LANGDIR() the direction, DATATYPE() the
+    dirLangString IRI; stored tag form is `tag--dir` (r5)."""
+    rows = [("http://x/a", "http://p/n", "hola", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """SELECT ?l ?d ?dtv WHERE {
+        ?s <http://p/n> ?o .
+        BIND(STRLANGDIR(?o, "es", "rtl") AS ?t)
+        BIND(LANG(?t) AS ?l) BIND(LANGDIR(?t) AS ?d)
+        BIND(DATATYPE(?t) AS ?dtv) }""")
+    r = df.first()
+    assert r["l"] == "es" and r["d"] == "rtl"
+    assert r["dtv"] == \
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#dirLangString"
+    with pytest.raises(SparqlError, match="ltr.*rtl|'ltr' or 'rtl'"):
+        query(g, 'SELECT ?t WHERE { ?s <http://p/n> ?o . '
+                 'BIND(STRLANGDIR(?o, "es", "up") AS ?t) }')
+
+
 def test_nondeterministic_functions_rejected(spark, graph):
     for fn in ("NOW()", "RAND()", "UUID()", "STRUUID()"):
         with pytest.raises(SparqlError, match="non-deterministic"):

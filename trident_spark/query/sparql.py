@@ -580,7 +580,7 @@ _MACRO_FUNCS = ("STRBEFORE", "STRAFTER", "SAMETERM", "LANGMATCHES",
                 "ENCODE_FOR_URI", "REGEX", "SHA256", "SHA384", "SHA512",
                 "ISNUMERIC", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
                 "SECONDS", "TZ", "TIMEZONE", "IRI", "URI", "STRLANG",
-                "STRDT", "ROUND", "CEIL", "FLOOR", "ABS",
+                "STRLANGDIR", "STRDT", "ROUND", "CEIL", "FLOOR", "ABS",
                 # SPARQL 1.2 triple-term accessors (the TRIPLE constructor
                 # and isTRIPLE predicate are handled structurally)
                 "SUBJECT", "PREDICATE", "OBJECT")
@@ -611,11 +611,13 @@ def _term_constructor_bind(toks: list[str], prefixes: dict[str, str]
                            ) -> tuple[list[str], str, str | None,
                                       str | None] | None:
     """A BIND expression that IS a typed-term constructor —
-    ``STRLANG(e, "tag")`` / ``STRDT(e, <dt>)`` / ``IRI(e)`` / ``URI(e)``
+    ``STRLANG(e, "tag")`` / ``STRLANGDIR(e, "tag", "dir")`` /
+    ``STRDT(e, <dt>)`` / ``IRI(e)`` / ``URI(e)``
     at top level — returns (value_tokens, kind, lang, datatype) so the
     bind attaches hidden metadata columns; None for ordinary expressions
     (which stay plain literals, the SPARQL default)."""
-    if not toks or toks[0].upper() not in ("STRLANG", "STRDT", "IRI", "URI"):
+    if not toks or toks[0].upper() not in ("STRLANG", "STRLANGDIR",
+                                           "STRDT", "IRI", "URI"):
         return None
     name = toks[0].upper()
     args, j = _parse_call_args(toks, 1)
@@ -625,6 +627,20 @@ def _term_constructor_bind(toks: list[str], prefixes: dict[str, str]
         if len(args) != 1 or not args[0]:
             raise SparqlError(f"{name} takes one argument")
         return args[0], "iri", None, None
+    if name == "STRLANGDIR":
+        # SPARQL 1.2 §17.4.2: rdf:dirLangString constructor — the base
+        # direction rides on the stored tag as `tag--ltr|rtl` (the
+        # N-Triples 1.2 LANG_DIR surface form used engine-wide)
+        if len(args) != 3 or not args[0] or len(args[1]) != 1 \
+                or len(args[2]) != 1 or not args[1][0].startswith('"') \
+                or not args[2][0].startswith('"'):
+            raise SparqlError(
+                "STRLANGDIR takes (expression, \"tag\", \"dir\")")
+        direction = _term_value(args[2][0], prefixes)
+        if direction not in ("ltr", "rtl"):
+            raise SparqlError("STRLANGDIR direction must be 'ltr' or 'rtl'")
+        tag_v = _term_value(args[1][0], prefixes)
+        return args[0], "literal", f"{tag_v}--{direction}", None
     if len(args) != 2 or not args[0] or len(args[1]) != 1:
         raise SparqlError(f"{name} takes (expression, constant)")
     tag = args[1][0]
@@ -834,7 +850,8 @@ def _expand_macro(name: str, args: list[list[str]],
         # nested in a larger expression: the VALUE is the string itself
         # (kind metadata only attaches for top-level BIND constructors)
         return sql[0]
-    if name in ("STRLANG", "STRDT") and len(sql) == 2:
+    if name in ("STRLANG", "STRDT") and len(sql) == 2 \
+            or name == "STRLANGDIR" and len(sql) == 3:
         return sql[0]
     if name in ("ROUND", "CEIL", "FLOOR", "ABS") and len(sql) == 1:
         # numeric builtins over LEXICAL values: try_cast keeps the SPARQL
