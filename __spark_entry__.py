@@ -1251,6 +1251,40 @@ FROM documents
 """
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level dedup (line/paragraph dedup): 20-token
+    windows, md5 frequency, one surviving copy corpus-wide (min-id owner).
+    The document text never shuffles — only (doc_id, idx, digest) rows."""
+    from trident_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_read(spark, sf_dir, "documents"), window=20)
+
+
+_DEDUP_SEGMENTS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS seg
+  FROM toks, unnest(range(CAST(ceil(len(t)/20.0) AS BIGINT))) AS u(i)
+), nz AS (
+  SELECT * FROM segs WHERE seg <> ''
+), freq AS (
+  SELECT md5(seg) AS h, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+  FROM nz GROUP BY 1
+), marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+         (f.nd >= 2 AND s.doc_id <> f.owner) AS dropped
+  FROM nz s JOIN freq f ON md5(s.seg) = f.h
+)
+SELECT doc_id, count(*) AS n_segments,
+       count(*) FILTER (WHERE dropped) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2451,7 +2485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no driver row in CORRECTNESS_r02 (tail of the old 64) ---
         "text_features": q_text_features,
-        "lang_id": q_lang_id,
         "similarity_suite": q_similarity_suite,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2495,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-data ops (scale paths only; quadratic verify paths are
         #     test-side oracles in extra_queries) ---
         "dedup_exact": q_dedup_exact,
+        "dedup_segments": q_dedup_segments,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
@@ -2515,6 +2549,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries consolidated into agg_having / bind_subquery, and the
     deliberately-quadratic verify twins of the LSH scale paths."""
     return {
+        # lang_id: no SQL oracle expressible (the corpus lang column is
+        # provably independent of its text — CLAUDE.md rule 11); verified
+        # by the 18/18 held-out accuracy pytest gate instead
+        "lang_id": q_lang_id,
         "iri_resolve_rfc3986": q_iri_resolve,
         "iri_normalize_rfc3986": q_iri_normalize,
         "iri_to_uri_rfc3987": q_iri_to_uri,
@@ -2630,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_full_pipeline": _kg_full_pipeline_oracle(),
         "events_salted_counts": _EVENTS_SALTED_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_segments": _DEDUP_SEGMENTS_ORACLE,
         # minhash-LSH candidates are exact-Jaccard-verified and recall is 1.0
         # on this corpus, so the exact pairwise oracle is the right check
         "dedup_minhash_lsh": f"SELECT a, b FROM ({_NGRAM_JACCARD_ORACLE}) pairs",

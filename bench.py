@@ -192,6 +192,7 @@ def run_headline(spark) -> dict[str, float]:
         "kg_rdfstar_reify",
         "kg_sparql_subquery",
         "dedup_exact",
+        "dedup_segments",
         "dedup_minhash_lsh",
         "dedup_clusters",
         "dedup_simhash",

@@ -53,6 +53,56 @@ def test_exact_dedup(spark):
     assert out == {1: False, 2: True, 3: False}
 
 
+def test_segment_dedup_keeps_one_copy(spark):
+    """A segment shared by 3 docs survives only in the min-id owner;
+    order of the kept segments is preserved; singletons untouched."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    u = lambda k: " ".join(f"u{k}_{i}" for i in range(20))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, u(1) + " " + shared + " " + u("1b")),
+            (2, shared + " " + u(2)),
+            (3, u(3) + " " + shared),
+            (4, u(4)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.segment_dedup(df, window=20).collect()}
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == u(1) + " " + shared + " " + u("1b")
+    assert out[2]["n_segments"] == 2 and out[2]["n_removed"] == 1
+    assert out[2]["clean_text"] == u(2)  # shared removed, order kept
+    assert out[3]["n_removed"] == 1 and out[3]["clean_text"] == u(3)
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == u(4)
+
+
+def test_segment_dedup_paragraph_mode(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\n\nSHARED PARA\n\ntail one"),
+            (2, "SHARED PARA\n\nunique two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.segment_dedup(df, split_re=r"\n{2,}",
+                               min_docs=2).collect()}
+    assert out[1]["clean_text"] == "keep me\n\nSHARED PARA\n\ntail one"
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_segments"] == 2 and out[2]["n_removed"] == 1
+
+
+def test_segment_dedup_short_doc_single_window(spark):
+    # doc shorter than the window is one segment (rule-13 guard exercised)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.segment_dedup(df, window=20).collect()}
+    assert out[1]["clean_text"] == "a b c" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
+
+
 def test_ngram_jaccard_finds_planted_pairs(docs):
     pairs = {(r["a"], r["b"]) for r in
              dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
