@@ -71,3 +71,35 @@ def test_real_r4_driver_snapshot_would_have_been_flagged():
     rec = json.loads((REPO / "BENCH" / "record.json").read_text())
     throttled, ratio = bench.throttle_check(r4["queries"], rec)
     assert throttled, f"r4 snapshot should read throttled, ratio={ratio}"
+
+
+def test_record_controls_ratchet_down_only():
+    """r5: repeated sub-tolerance slowdowns must not drift the throttle
+    reference — control entries keep their best (lowest) clean timing."""
+    timings = {"pricing_summary": 0.5, "region_revenue": 0.55,
+               "events_hourly": 0.35, "kg_doc_triples": 8.0}
+    out = bench.ratchet_record(timings, RECORD)
+    # controls: min(new, record)
+    assert out["pricing_summary"] == 0.4
+    assert out["region_revenue"] == 0.55   # new run genuinely faster
+    assert out["events_hourly"] == 0.3
+    # non-control queries track the latest run even when slower
+    assert out["kg_doc_triples"] == 8.0
+    # no record yet: timings pass through
+    assert bench.ratchet_record(timings, None) == timings
+
+
+def test_compounding_drift_blocked():
+    """Three chained 1.25x slowdowns: with the ratchet, the third run
+    still compares against the ORIGINAL controls and reads throttled
+    once the cumulative ratio crosses tolerance."""
+    record = {"queries": dict(RECORD["queries"])}
+    for step in range(1, 4):
+        factor = 1.25 ** step
+        timings = {q: t * factor for q, t in RECORD["queries"].items()}
+        throttled, ratio = bench.throttle_check(timings, record)
+        if not throttled:
+            record = {"queries": bench.ratchet_record(timings, record)}
+    # cumulative 1.95x vs the anchored reference: detected
+    assert throttled
+    assert ratio > 1.9

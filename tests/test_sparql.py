@@ -2584,3 +2584,33 @@ def test_quoted_triple_literal_constant_lang(spark):
                <<( ?d <http://p/n> "hello" )>> .
         }""")
     assert [r.d for r in df.collect()] == ["http://s/3"]
+
+
+def test_query_encoded_dirlang_constant(spark):
+    """r5 review fix: a dir-lang constant ("x"@EN--ltr) must canonicalize
+    its tag part exactly like normalize_literal_langs (split --dir,
+    normalize, re-attach) before hashing — both engines must agree."""
+    from trident_spark.pipeline.kg import (encode_triples,
+                                           normalize_literal_langs)
+    from trident_spark.query.sparql import query, query_encoded
+
+    lexical = spark.createDataFrame(
+        [("http://x/s1", "http://p/n", "shalom", "literal", None,
+          "EN-us--ltr", "http://x/s1", None, "test"),
+         ("http://x/s2", "http://p/n", "shalom", "literal", None,
+          "he", "http://x/s2", None, "test")],
+        "subj string, pred string, obj_lexical string, obj_kind string, "
+        "obj_datatype string, obj_lang string, url string, "
+        "warc_ts timestamp, source string")
+    lexical = normalize_literal_langs(lexical)
+    terms, edges = encode_triples(lexical)
+    for q, want in [
+        ('SELECT ?s WHERE { ?s <http://p/n> "shalom"@EN-US--LTR }',
+         {("http://x/s1",)}),
+        ('SELECT ?s WHERE { ?s <http://p/n> "shalom"@he }',
+         {("http://x/s2",)}),
+        ('SELECT ?s WHERE { ?s <http://p/n> "shalom"@en-us }', set()),
+    ]:
+        lex = {tuple(r) for r in query(lexical, q).collect()}
+        enc = {tuple(r) for r in query_encoded(edges, terms, q).collect()}
+        assert lex == enc == want, q

@@ -30,12 +30,22 @@ def fuzz_graph(spark):
     for _ in range(150):
         s = rng.choice(nodes)
         p = rng.choice(preds)
-        if rng.random() < 0.6:
+        r = rng.random()
+        if r < 0.6:
             rows.add((s, p, rng.choice(nodes), "iri", None, None))
-        else:
+        elif r < 0.8:
             # control-char literals fuzz the ECHAR decode paths (rule 8)
             rows.add((s, p, rng.choice(["v1", "v2", "v3", "a\nb", "t\tv"]),
                       "literal", None, None))
+        elif r < 0.9:
+            # lang-tagged literals (distinct lexical space: same-lexical
+            # plain/tagged twins would legitimately diverge on VARIABLE
+            # joins, where the lexical path joins on the form alone)
+            rows.add((s, p, rng.choice(["lv1", "lv2"]), "literal", None,
+                      rng.choice(["fr", "en", "en--ltr"])))
+        else:
+            rows.add((s, p, rng.choice(["dv1", "dv2"]), "literal",
+                      "http://www.w3.org/2001/XMLSchema#token", None))
     return spark.createDataFrame(sorted(rows), COLS).cache()
 
 
@@ -48,7 +58,12 @@ def _gen_query(rng):
     for k in range(n_pats):
         s = rng.choice(vars_[: k + 1])
         p = rng.choice(preds + ["?p"])
-        o = rng.choice(vars_ + nodes + ['"v1"', '"a\\nb"', '"t\\tv"'])
+        o = rng.choice(vars_ + nodes + [
+            '"v1"', '"a\\nb"', '"t\\tv"',
+            # full-term-identity constants: the plain forms of lv1/dv1
+            # exist only tagged, so "lv1" must match NOTHING on both paths
+            '"lv1"@fr', '"lv1"@FR', '"lv1"', '"lv2"@en--ltr',
+            '"dv1"^^<http://www.w3.org/2001/XMLSchema#token>', '"dv1"'])
         pats.append(f"{s} {p} {o} .")
     used = sorted({t for pat in pats for t in pat.split()
                    if t.startswith("?")})
@@ -97,3 +112,26 @@ def test_cross_pattern_term_identity(spark):
         }
     """)
     assert [r["n"] for r in iri.collect()] == ["B"]
+
+
+def test_run_literal_constant_full_term_identity(spark):
+    """r5 regression: a literal CONSTANT inside a >=2-pattern id-run must
+    match by full (lexical, lang, datatype) identity exactly like the
+    single-pattern path — a plain "hello" never matches "hello"@fr."""
+    rows = [
+        ("http://x/s1", "http://p/n", "hello", "literal", None, "fr"),
+        ("http://x/s1", "http://p/q", "y1", "literal", None, None),
+        ("http://x/s2", "http://p/n", "hello", "literal", None, None),
+        ("http://x/s2", "http://p/q", "y2", "literal", None, None),
+    ]
+    g = spark.createDataFrame(rows, COLS)
+    # single pattern (slow path) and two-pattern run (id path) must agree
+    for extra in ("", "?s <http://p/q> ?o ."):
+        plain = S.query(g, f"""
+            SELECT ?s WHERE {{ ?s <http://p/n> "hello" . {extra} }}
+        """)
+        assert [r["s"] for r in plain.collect()] == ["http://x/s2"], extra
+        tagged = S.query(g, f"""
+            SELECT ?s WHERE {{ ?s <http://p/n> "hello"@FR . {extra} }}
+        """)
+        assert [r["s"] for r in tagged.collect()] == ["http://x/s1"], extra

@@ -655,13 +655,13 @@ def _term_constructor_bind(toks: list[str], prefixes: dict[str, str]
 
 
 def _esc_lit_col(col):
-    """N-Triples literal escape, JVM-side (writer parity with
-    pipeline/sinks._escape_literal — backslash first)."""
-    c = F.regexp_replace(col, r"\\", r"\\\\")
-    c = F.regexp_replace(c, '"', '\\\\"')
-    c = F.regexp_replace(c, "\n", "\\\\n")
-    c = F.regexp_replace(c, "\r", "\\\\r")
-    return F.regexp_replace(c, "\t", "\\\\t")
+    """N-Triples literal escape, JVM-side.  Delegates to the writer's
+    helper so TRIPLE()-built lexical forms stay byte-identical to the
+    forms pipeline/sinks serializes (any escape added there is picked up
+    here automatically; a drifted duplicate would silently stop matching
+    stored rdf:reifies rows)."""
+    from trident_spark.pipeline.sinks import _escape_literal
+    return _escape_literal(col)
 
 
 def _outer_bind_vars(group: "_Group", outer: set[str]) -> set[str]:
@@ -1727,9 +1727,12 @@ def _run_pattern_scan(triples: DataFrame, pat: _Pattern,
             continue
         col = _LEX_COLS[slot]
         if slot == "obj" and term.startswith('"'):
-            value = _term_value(term, prefixes)  # full ECHAR decode
-            scan = scan.where((F.col("obj_kind") == "literal")
-                              & (F.col(col) == value))
+            # full RDF term identity, byte-identical to the slow path in
+            # _compile_pattern (lang tags case-insensitive, plain ≡
+            # xsd:string) — CLAUDE.md rule 8
+            value, c_lang, c_dt = _literal_parts(term, prefixes)
+            scan = scan.where(_literal_match_cond(
+                F.col(col), value, c_lang, c_dt, set(triples.columns)))
         elif slot == "obj" and _PLAIN_SCALAR.match(term):
             scan = scan.where((F.col("obj_kind") == "literal")
                               & (F.col(col) == term))
@@ -3547,10 +3550,19 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
             if lang is not None:
                 # stored tags are canonicalized (normalize_literal_langs,
                 # RFC 5646 §4.5) — canonicalize the constant's tag the
-                # same way so `"x"@EN-us` hashes to the stored `en-US` id
+                # same way so `"x"@EN-us` hashes to the stored `en-US` id.
+                # RDF 1.2 base direction rides as a `--ltr/--rtl` suffix:
+                # split it off (case-insensitively, like the lexical
+                # engine's lower() comparison), canonicalize the tag part,
+                # re-attach the lowercased direction — mirroring
+                # pipeline/kg.normalize_literal_langs exactly
                 from trident_spark.kernels import langtag as L
+                m_dir = re.search(r"--(ltr|rtl)$", lang, re.IGNORECASE)
+                base = lang[: m_dir.start()] if m_dir else lang
                 try:
-                    lang = L.normalize(lang, L.load_registry()).tag
+                    base = L.normalize(base, L.load_registry()).tag
+                    lang = (base + "--" + m_dir.group(1).lower()
+                            if m_dir else base)
                 except L.LangTagError:
                     pass  # invalid tag: hash as-is (matches nothing,
                     # like the lexical engine, where the pipeline nulls it)
