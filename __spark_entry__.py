@@ -503,6 +503,36 @@ def q_kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_SPARQL_SCOPE_ORACLE = f"""
+SELECT '{DOC_BASE}/doc/' || doc_id AS doc, source AS n FROM documents
+"""
+
+
+def q_kg_sparql_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict SPARQL §18.2 bottom-up filter scoping (r5): a FILTER inside
+    a plain nested group reads enclosing-group variables as UNBOUND.
+    Leg 1's FILTER(!BOUND(?doc)) is therefore TRUE — the subgroup passes
+    whole and joins normally (a lenient post-join evaluation would see
+    ?doc bound and return ZERO rows, so this query discriminates).  Leg
+    2's FILTER(?n = ?doc) is an expression error → false → empty leg.
+    The union equals exactly the plain provider→name join."""
+    from trident_spark.query.sparql import query
+
+    return query(
+        _doc_triples(spark, sf_dir),
+        """
+        PREFIX schema: <https://schema.org/>
+        SELECT ?doc ?n WHERE {
+            { ?doc schema:provider ?org .
+              { ?org schema:name ?n . FILTER(!BOUND(?doc)) } }
+            UNION
+            { ?doc schema:provider ?org .
+              { ?org schema:name ?n . FILTER(?n = ?doc) } }
+        }
+        """,
+    )
+
+
 def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIONAL: every typed subject, with its schema:name when one exists
     (docs have no name → null → coalesced to '' for dtype-stable hashing).
@@ -2569,6 +2599,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_trig_roundtrip": q_kg_trig_roundtrip,
         "kg_jsonld_quads_roundtrip": q_kg_jsonld_quads_roundtrip,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_scope": q_kg_sparql_scope,
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_subquery": q_kg_sparql_subquery,
@@ -2705,6 +2736,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kg_trig_roundtrip": _KG_NQUADS_ORACLE,
         "kg_jsonld_quads_roundtrip": _KG_NQUADS_ORACLE,
         "kg_sparql_agg": _KG_SPARQL_AGG_ORACLE,
+        "kg_sparql_scope": _KG_SPARQL_SCOPE_ORACLE,
         "kg_sparql_having": _KG_SPARQL_HAVING_ORACLE,
         "kg_sparql_bind": _KG_SPARQL_BIND_ORACLE,
         "kg_sparql_subquery": _KG_SPARQL_SUBQUERY_ORACLE,

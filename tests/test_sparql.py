@@ -2188,10 +2188,65 @@ def test_exists_optional_filters_see_outer_scope(spark):
         MINUS { ?t <http://p/w> ?w . FILTER(?w = ?o) } }""")
     assert sorted(r["s"] for r in df4.collect()) == [
         "http://x/a", "http://x/b"]
-    with pytest.raises(SparqlError, match="enclosing-group"):
-        query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
-            { ?t <http://p/w> ?w . FILTER(?w = ?o) }
-            UNION { ?t <http://p/w> ?w } }""")
+    # UNION branches get strict bottom-up scoping (r5): ?o is unbound
+    # inside the branch -> the filtered branch is empty, the plain
+    # branch survives, and the union crosses with the outer solutions
+    df5 = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        { ?t <http://p/w> ?w . FILTER(?w = ?o) }
+        UNION { ?t <http://p/w> ?w } }""")
+    assert sorted(r["s"] for r in df5.collect()) == [
+        "http://x/a", "http://x/b"]
+
+
+def test_plain_nested_group_filters_scope_strictly(spark):
+    """Strict §18.2 bottom-up scoping (r5): a FILTER inside a plain
+    nested {} or a GRAPH group evaluates enclosing-group variables as
+    UNBOUND — comparison errors to false (empty subgroup), !BOUND is
+    true (subgroup passes whole) — matching reference engines."""
+    rows = [("http://x/a", "http://p/v", "one", "literal", None, None),
+            ("http://x/b", "http://p/v", "two", "literal", None, None),
+            ("http://x/a", "http://p/w", "one", "literal", None, None),
+            ("http://x/b", "http://p/w", "two", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    # lenient semantics would keep only the matching (?w = ?o) pairs;
+    # strict: ?o unbound inside the subgroup -> error -> false -> the
+    # subgroup is EMPTY -> the whole query returns nothing
+    df = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        { ?s <http://p/w> ?w . FILTER(?w = ?o) } }""")
+    assert df.count() == 0
+    # the filter tolerating unbound: !BOUND(?o) is TRUE inside -> the
+    # subgroup keeps all rows and the join proceeds normally
+    df2 = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        { ?s <http://p/w> ?w . FILTER(!BOUND(?o)) } } ORDER BY ?s""")
+    assert [r["s"] for r in df2.collect()] == ["http://x/a", "http://x/b"]
+    # same variable bound INSIDE the subgroup still filters normally
+    df3 = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        { ?s <http://p/w> ?w . FILTER(?w = "one") } }""")
+    assert [r["s"] for r in df3.collect()] == ["http://x/a"]
+    # OPTIONAL keeps its spec-sanctioned substitution (unchanged)
+    df4 = query(g, """SELECT ?s ?w WHERE { ?s <http://p/v> ?o .
+        OPTIONAL { ?s <http://p/w> ?w . FILTER(?w = ?o) } } ORDER BY ?s""")
+    assert [(r["s"], r["w"]) for r in df4.collect()] == [
+        ("http://x/a", "one"), ("http://x/b", "two")]
+
+
+def test_graph_group_filters_scope_strictly(spark):
+    """GRAPH groups also evaluate enclosing variables as unbound."""
+    rows = [("http://x/a", "http://p/v", "one", "literal", None, None,
+             None),
+            ("http://x/a", "http://p/w", "one", "literal", None, None,
+             "http://g/1")]
+    g = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_lexical string, obj_kind string, "
+        "obj_datatype string, obj_lang string, graph string")
+    df = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        GRAPH <http://g/1> { ?s <http://p/w> ?w . FILTER(?w = ?o) } }""")
+    assert df.count() == 0
+    df2 = query(g, """SELECT ?s WHERE { ?s <http://p/v> ?o .
+        GRAPH <http://g/1> { ?s <http://p/w> ?w .
+                            FILTER(!BOUND(?o)) } }""")
+    assert [r["s"] for r in df2.collect()] == ["http://x/a"]
 
 
 def test_undef_nullability_crosses_subgroup_boundaries(spark):

@@ -40,13 +40,14 @@ SPARQL §10.2 compatibility join (NULL matches anything, COALESCE
 re-binds).  On the scale path that is a UNION of plain equi-joins
 partitioned by null signature (hash-joinable — never a quadratic theta
 join); plans with no nullable shared key keep the plain equi-join.
-Remaining simplifications (documented, not silent): a filter DEFERRED
-into a plain nested group sees enclosing-group bindings (applied after
-the inner join) where strict SPARQL scoping would read such variables
-as unbound inside the subgroup — substitution is spec-sanctioned only
-for EXISTS/OPTIONAL, so plain-{} groups with outer-variable filters
-can differ from reference engines; SUM/AVG cast the lexical form to
-double;
+Filter scoping is strict bottom-up (§18.2): a filter in a plain nested
+{}, a GRAPH group or a UNION branch that references a variable bound
+only in the enclosing group evaluates it as UNBOUND (NULL → expression
+error → false) exactly like reference engines; outer bindings are
+substituted only where the spec says so — the OPTIONAL left-join
+condition and EXISTS/NOT EXISTS.
+Remaining simplifications (documented, not silent): SUM/AVG cast the
+lexical form to double;
 HAVING aggregates not named in SELECT are computed as hidden columns
 and dropped after filtering; GRAPH patterns need a quads frame (a
 ``graph`` column —
@@ -1824,9 +1825,10 @@ def _compile_group(triples: DataFrame, group: _Group,
     referencing them but not bound here is DEFERRED via ``out_deferred``
     (mutable list of token lists) so the caller can evaluate it where
     those bindings are visible — the substitution semantics EXISTS and
-    OPTIONAL need.  A caller that cannot defer passes
-    ``out_deferred=None`` and such filters raise loudly (the old
-    unresolved-column crash, with a real message).
+    OPTIONAL need; ONLY those two callers pass it (strict bottom-up
+    scoping everywhere else: plain {} / GRAPH / UNION / MINUS /
+    subselect compiles leave it None, so their filters read enclosing
+    variables as unbound NULLs).
 
     ``seed``: optional (DataFrame, vars) the group compiles AGAINST as
     its initial solution multiset — the EXISTS substitution path seeds
@@ -1929,11 +1931,11 @@ def _compile_group(triples: DataFrame, group: _Group,
                 gv = term[1:]
                 frame = quads.where(F.col("graph").isNotNull())
                 sub_extra = {**inner_extra, "graph": gv}
+                # strict bottom-up scoping (§18.2): filters inside the
+                # GRAPH group never see enclosing bindings
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
                                              sub_extra,
-                                             out_nullable=scan_null,
-                                             outer_bound=_sub_outer(),
-                                             out_deferred=scan_defer)
+                                             out_nullable=scan_null)
                 if gv not in vars_:
                     # subgroup held only nested GRAPH scopes: ?gv still
                     # ranges over every named graph (a genuine cross —
@@ -1947,9 +1949,7 @@ def _compile_group(triples: DataFrame, group: _Group,
                     F.col("graph") == _expand(term, prefixes))
                 scan, vars_ = _compile_group(frame, sub, prefixes, quads,
                                              inner_extra,
-                                             out_nullable=scan_null,
-                                             outer_bound=_sub_outer(),
-                                             out_deferred=scan_defer)
+                                             out_nullable=scan_null)
             how = "inner"
         elif el[0] == "bind":
             # BIND applies to the solutions built so far, in sequence
@@ -2085,19 +2085,18 @@ def _compile_group(triples: DataFrame, group: _Group,
                     if other is not el:
                         sub_needed |= _all_vars(other)
             if el[0] == "union":
-                # a deferred filter from ONE branch cannot apply to the
-                # union's merged rows → out_deferred=None makes such
-                # filters raise loudly inside the branch compile
+                # strict §18.2 bottom-up scoping: a UNION branch never
+                # sees enclosing-group bindings — a filter referencing
+                # one evaluates it as unbound (NULL → error → false),
+                # exactly like reference engines (no outer_bound here)
                 left, lv = _compile_group(triples, el[1], prefixes, quads,
                                           extra, want_meta=meta,
                                           needed=sub_needed,
-                                          out_nullable=scan_null,
-                                          outer_bound=_sub_outer())
+                                          out_nullable=scan_null)
                 right, rv = _compile_group(triples, el[2], prefixes, quads,
                                            extra, want_meta=meta,
                                            needed=sub_needed,
-                                           out_nullable=scan_null,
-                                           outer_bound=_sub_outer())
+                                           out_nullable=scan_null)
                 scan = left.unionByName(right, allowMissingColumns=True)
                 # a variable bound in only ONE branch is NULL = unbound on
                 # the other branch's rows: thread it as nullable so later
@@ -2105,24 +2104,29 @@ def _compile_group(triples: DataFrame, group: _Group,
                 scan_null |= (lv - rv) | (rv - lv)
                 vars_, how = lv | rv, "inner"
             else:
-                scan, vars_ = _compile_group(triples, el[1], prefixes,
-                                             quads, extra, want_meta=meta,
-                                             needed=sub_needed,
-                                             out_nullable=scan_null,
-                                             outer_bound=_sub_outer(),
-                                             out_deferred=scan_defer)
+                # OPTIONAL filters may reference left-side vars (the
+                # LeftJoin expression, §18.2.2.7) — defer them into the
+                # join condition.  A plain nested {} gets strict
+                # bottom-up scoping: no outer_bound, so filters over
+                # enclosing vars evaluate them as unbound (NULL)
+                if el[0] == "optional":
+                    scan, vars_ = _compile_group(
+                        triples, el[1], prefixes, quads, extra,
+                        want_meta=meta, needed=sub_needed,
+                        out_nullable=scan_null,
+                        outer_bound=_sub_outer(),
+                        out_deferred=scan_defer)
+                else:
+                    scan, vars_ = _compile_group(
+                        triples, el[1], prefixes, quads, extra,
+                        want_meta=meta, needed=sub_needed,
+                        out_nullable=scan_null)
                 how = "left" if el[0] == "optional" else "inner"
         else:  # pragma: no cover
             raise SparqlError(f"unknown group element {el!r}")
         if plan is None:
             if how == "left":
                 raise SparqlError("OPTIONAL cannot be the first pattern")
-            if scan_defer:  # opening subgroup: outer vars are OUR outer
-                if out_deferred is None:
-                    raise SparqlError(
-                        "FILTER references enclosing-group variables "
-                        "where outer bindings cannot be seen")
-                out_deferred.extend(scan_defer)
             plan, bound = scan, vars_
             nullable |= scan_null
         else:
@@ -2138,22 +2142,6 @@ def _compile_group(triples: DataFrame, group: _Group,
                 # UNDEF cells (the r4 machinery; shared keys keep their
                 # left-side binding and stay non-null)
                 nullable |= vars_ - prev_bound
-            if scan_defer and how != "left":
-                # inner-joined subgroup (nested {} / GRAPH): applying the
-                # deferred filter after the join IS the ON-condition
-                # semantics; anything still unresolvable re-defers upward
-                for ftoks in scan_defer:
-                    fvars = {t[1:] for t in ftoks if t.startswith("?")}
-                    if fvars - set(plan.columns):
-                        if out_deferred is None:
-                            raise SparqlError(
-                                "FILTER references enclosing-group "
-                                "variables where outer bindings cannot "
-                                "be seen")
-                        out_deferred.append(ftoks)
-                    else:
-                        plan = plan.where(
-                            _filter_sql(ftoks, set(plan.columns)))
     if plan is None:
         raise SparqlError("empty group pattern")
     # metadata filters on vars bound in SUBJECT/PREDICATE position: kind
@@ -2193,13 +2181,15 @@ def _compile_group(triples: DataFrame, group: _Group,
                 raise SparqlError(
                     f"isIRI/LANG/DATATYPE(?{v}) requires ?{v} bound by a "
                     "triple pattern in this group")
-    # SPARQL filter scope: the enclosing group, after all elements joined.
+    # SPARQL filter scope: this group, after all its elements joined.
     # Filters referencing variables bound only in the ENCLOSING scope
-    # defer to the caller (OPTIONAL → left-join ON, EXISTS → semi/anti
-    # condition, plain nested group → applied after its join); positions
-    # where outer bindings are invisible by spec (MINUS right side,
-    # subselects) never set outer_bound, so their filters keep the
-    # unbound-NULL semantics those scopes require.
+    # defer to the caller ONLY where the spec substitutes outer bindings
+    # (OPTIONAL → left-join ON condition §18.2.2.7, EXISTS → semi/anti
+    # condition §18.6); every other position — plain nested {}, GRAPH,
+    # UNION branches, MINUS right side, subselects — never sets
+    # outer_bound, so such filters evaluate the variable as unbound
+    # (NULL → expression error → false), the strict bottom-up scoping
+    # reference engines implement.
     for ftoks in filters:
         fvars = {t[1:] for t in ftoks if t.startswith("?")}
         missing = fvars - set(plan.columns)
