@@ -450,6 +450,16 @@ def main() -> None:
                 f"record run; the most recent run measured efficiency "
                 f"{fresh['efficiency_2_to_8']} (see BENCH/scaling_latest.json"
                 f"{' — control queries showed VM throttle' if throttled else ''})")
+        elif throttled:
+            # no prior record AND throttled: publishing this run would
+            # seed the north-rule record with throttle-halved absolute
+            # throughputs that a later clean run (higher absolutes, equal
+            # ratio) could never displace — report it, don't record it
+            scaling = dict(fresh)
+            scaling["_note"] = ("THROTTLED run, not recorded (control "
+                                "queries >tolerance vs the clean record); "
+                                "no prior BENCH/scaling.json to fall back "
+                                "to — rerun on a cool VM to seed it")
         else:
             scaling = fresh
             (REPO / "BENCH" / "scaling.json").write_text(json.dumps(fresh))

@@ -2669,3 +2669,34 @@ def test_query_encoded_dirlang_constant(spark):
         lex = {tuple(r) for r in query(lexical, q).collect()}
         enc = {tuple(r) for r in query_encoded(edges, terms, q).collect()}
         assert lex == enc == want, q
+
+
+def test_delete_data_lang_tag_case_insensitive(spark):
+    """r5 review fix: DELETE DATA with a non-canonical language tag
+    ("x"@en-us vs stored canonical en-US) must still delete the row —
+    BCP 47 tags compare case-insensitively on every match path."""
+    from trident_spark.query.sparql import update
+
+    rows = [("http://x/s", "http://p/n", "x", "literal", None, "en-US"),
+            ("http://x/s", "http://p/n", "x", "literal", None, None),
+            ("http://x/s", "http://p/n", "keep", "literal", None, "fr")]
+    g = spark.createDataFrame(rows, COLS)
+    out = update(g, 'DELETE DATA { <http://x/s> <http://p/n> "x"@en-us }')
+    left = {(r["obj_lexical"], r["obj_lang"]) for r in out.collect()}
+    # the tagged twin is gone; the PLAIN "x" and the fr row survive
+    assert left == {("x", None), ("keep", "fr")}
+
+
+def test_graph_construct_preserves_literal_metadata(spark):
+    """r5 review fix: Graph.construct() must carry the template's
+    datatype/lang through to the new Graph (serialize keeps @lang)."""
+    from trident_spark.graph import Graph
+
+    rows = [("http://x/s", "http://p/n", "hola", "literal", None, "es")]
+    g = Graph(spark.createDataFrame(rows, COLS))
+    out = g.construct("""
+        CONSTRUCT { ?s <http://p/label> "indexed"@en }
+        WHERE { ?s <http://p/n> ?o }
+    """)
+    ser = out.serialize("ntriples")
+    assert '"indexed"@en' in ser

@@ -306,3 +306,62 @@ def test_group_by_bare_builtin_with_having(spark):
         GROUP BY UCASE(?o) HAVING(COUNT(*) > 1)
     """)
     assert [r["n"] for r in df.collect()] == [2]
+
+
+def test_object_accessor_preserves_literal_term_identity(spark):
+    """r5 review fix: OBJECT() of a lang-tagged or datatyped literal
+    keeps the full N-Triples form (never compares equal to the plain
+    body); plain and xsd:string literals unescape to the bare body."""
+    tt_en = '<<( <http://x/s> <http://x/p> "x"@en )>>'
+    tt_pl = '<<( <http://x/s> <http://x/p> "x" )>>'
+    tt_str = ('<<( <http://x/s> <http://x/p> '
+              '"x"^^<http://www.w3.org/2001/XMLSchema#string> )>>')
+    tt_int = ('<<( <http://x/s> <http://x/p> '
+              '"5"^^<http://www.w3.org/2001/XMLSchema#integer> )>>')
+    rows = [("_:r1", RDF_REIFIES, tt_en, "triple", None, None),
+            ("_:r2", RDF_REIFIES, tt_pl, "triple", None, None),
+            ("_:r3", RDF_REIFIES, tt_str, "triple", None, None),
+            ("_:r4", RDF_REIFIES, tt_int, "triple", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        SELECT ?r WHERE { ?r ?p ?t . FILTER(OBJECT(?t) = "x") }
+        ORDER BY ?r
+    """)
+    # plain and xsd:string match; "x"@en and "5"^^integer must NOT
+    assert [r["r"] for r in df.collect()] == ["_:r2", "_:r3"]
+    tagged = query(g, """
+        SELECT ?o WHERE { ?r ?p ?t . BIND(OBJECT(?t) AS ?o) }
+    """)
+    vals = {r["o"] for r in tagged.collect()}
+    assert '"x"@en' in vals  # full term form survives
+
+
+def test_triple_ctor_rejects_blank_predicate(spark):
+    rows = [(X + "s", X + "p", "v", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    with pytest.raises(SparqlError, match="predicate"):
+        query(g, """
+            SELECT ?tt WHERE { ?s ?p ?o .
+                BIND(TRIPLE(?s, _:b, ?o) AS ?tt) }
+        """).collect()
+
+
+def test_compat_join_many_nullable_keys(spark):
+    """>4 null-signature parts (2 nullable keys each side -> 16 parts):
+    the localCheckpoint lineage-truncation path must stay semantically
+    identical to the pure-union path."""
+    rows = [(X + "y", X + "p", "x", "literal", None, None)]
+    g = spark.createDataFrame(rows, COLS)
+    df = query(g, """
+        PREFIX x: <http://x/>
+        SELECT ?a ?b WHERE {
+            { VALUES (?a ?b) { (UNDEF "x") ("y" UNDEF) } }
+            { VALUES (?a ?b) { ("y" "x") (UNDEF UNDEF) } }
+        }
+    """)
+    from collections import Counter
+    got = Counter((r["a"], r["b"]) for r in df.collect())
+    # §10.2: every (left, right) pair here is compatible —
+    #   {b:x}⋈{a:y,b:x} and {a:y}⋈{a:y,b:x} → (y, x) twice;
+    #   {b:x}⋈{} → (unbound, x); {a:y}⋈{} → (y, unbound)
+    assert got == Counter({("y", "x"): 2, (None, "x"): 1, ("y", None): 1})

@@ -270,13 +270,13 @@ class Graph:
 
     def construct(self, sparql: str) -> "Graph":
         from trident_spark.query.sparql import construct
-        out = construct(self._distinct(), sparql)
-        spark = self._df.sparkSession
-        from pyspark.sql import functions as F
-        return Graph(out.select(
+        # construct() returns the full 6-column lexical frame incl. the
+        # template's datatype/lang metadata — pass it through verbatim
+        # (nulling it here would silently strip @lang/^^dt from every
+        # constructed literal at the public API)
+        return Graph(construct(self._distinct(), sparql).select(
             "subj", "pred", "obj_lexical", "obj_kind",
-            F.lit(None).cast("string").alias("obj_datatype"),
-            F.lit(None).cast("string").alias("obj_lang")))
+            "obj_datatype", "obj_lang"))
 
     # -- serialization ------------------------------------------------------
 

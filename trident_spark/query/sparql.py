@@ -595,6 +595,8 @@ def _sql_rx(py_regex: str) -> str:
 
 # N-Triples literal body (the quoted, still-escaped form)
 _NT_LIT_BODY = r'^"((?:[^"\\]|\\.)*)"'
+# … and its @lang / ^^<datatype> suffix, when present
+_NT_LIT_SUFFIX = r'^"(?:[^"\\]|\\.)*"((?:@|\^\^).+)$'
 
 # non-deterministic SPARQL builtins: a distributed engine re-evaluating
 # them per partition/retry cannot give the single-evaluation semantics
@@ -742,6 +744,11 @@ def _triple_ctor_col(args: list[list[str]], prefixes: dict[str, str],
                 return const_obj(t)
             if t.startswith('"'):
                 raise SparqlError(f"TRIPLE {pos} cannot be a literal")
+            if pos == "pred" and t.startswith("_:"):
+                # a blank-node predicate is not legal RDF — constructing
+                # it would emit a triple term the writer never produces
+                # (joins silently empty); reject loudly like literals
+                raise SparqlError("TRIPLE predicate cannot be a blank node")
             return (F.lit(t) if t.startswith("_:")
                     else F.lit("<" + _expand(t, prefixes) + ">"))
         v = t[1:]
@@ -926,11 +933,18 @@ def _expand_macro(name: str, args: list[list[str]],
         un = f"replace({un}, '\\\\r', '\\r')"
         un = f"replace({un}, '\\\\t', '\\t')"
         un = f"replace({un}, char(0), '\\\\')"
+        # term identity: only a PLAIN (or xsd:string — RDF 1.1 identifies
+        # the two) literal unescapes to its bare body; a lang-tagged or
+        # otherwise-datatyped literal keeps its full N-Triples form so
+        # OBJECT(<<( s p "x"@en )>>) never compares equal to plain "x"
+        sfx = f"regexp_extract({raw}, {_sql_rx(_NT_LIT_SUFFIX)}, 1)"
         return (f"(CASE WHEN {raw} = '' THEN NULL "
                 f"WHEN startswith({raw}, '<<(') THEN {raw} "
                 f"WHEN startswith({raw}, '<') THEN "
                 f"regexp_extract({raw}, '^<(.*)>$', 1) "
                 f"WHEN startswith({raw}, '_:') THEN {raw} "
+                f"WHEN {sfx} NOT IN ('', '^^<{XSD_STRING}>') "
+                f"THEN {raw} "
                 f"ELSE {un} END)")
     if name == "SAMETERM" and len(sql) == 2:
         # term identity: lexical form plus kind/lang/datatype whenever the
@@ -1453,11 +1467,20 @@ def _compat_parts_join(plan: DataFrame, scan: DataFrame, keys: list[str],
     The all-null × all-null pairing is a genuine product per the spec
     (every solution pair is compatible); its inputs are only the rows
     unbound on EVERY shared key (UNDEF cells / OPTIONAL misses)."""
-    nk = sorted(set(left_null) | set(right_null))
     ren = {v: f"_cj_{v}" for v in keys}
     scan2 = scan
     for v in keys:
         scan2 = scan2.withColumnRenamed(v, ren[v])
+    # each input subtree appears once PER PART in the unioned plan; past
+    # a handful of parts (>2 nullable keys on a side, or a chain of
+    # compat joins whose left input is already a part-union) that means
+    # re-executing the same upstream work 2^k times — truncate lineage
+    # with a lazy localCheckpoint so the parts share one materialized
+    # input instead (the common 1-key cases stay pure Catalyst)
+    n_parts = (1 << len(left_null)) * (1 << len(right_null))
+    if n_parts > 4:
+        plan = plan.localCheckpoint(eager=False)
+        scan2 = scan2.localCheckpoint(eager=False)
 
     def _parts(df, null_vars, col_of):
         out = []
@@ -3088,7 +3111,7 @@ _LIT_META = ["obj_datatype", "obj_lang"]
 
 
 def _anti_by_term(out: DataFrame, delete_df: DataFrame,
-                  extra_keys: list[str] = []) -> DataFrame:
+                  extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """``out`` minus ``delete_df``, matched by full RDF term identity:
     the _CORE key plus — when the base frame records them — obj_datatype
     and obj_lang, compared null-safely with ``"x"^^xsd:string`` ≡ plain
@@ -3097,7 +3120,7 @@ def _anti_by_term(out: DataFrame, delete_df: DataFrame,
     join — never a theta join)."""
     meta = [c for c in _LIT_META
             if c in out.columns and c in delete_df.columns]
-    keys = _CORE + extra_keys
+    keys = _CORE + list(extra_keys)
     d = delete_df.select(*(keys + meta)).distinct()
     d = d.select(*[F.col(c).alias(f"_del_{c}") for c in keys + meta])
     cond = None
@@ -3106,6 +3129,13 @@ def _anti_by_term(out: DataFrame, delete_df: DataFrame,
         if c == "obj_datatype":
             left = F.nullif(left, F.lit(XSD_STRING))
             right = F.nullif(right, F.lit(XSD_STRING))
+        elif c == "obj_lang":
+            # BCP 47 tags compare case-insensitively (and --ltr/--rtl
+            # rides along) — the stored side is canonicalized
+            # ('en-US') while a DELETE constant arrives raw ('en-us');
+            # every match path lowercases both sides, so must we, or
+            # the delete silently removes nothing
+            left, right = F.lower(left), F.lower(right)
         e = (left.eqNullSafe(right) if c in _LIT_META + ["graph"]
              else left == right)
         cond = e if cond is None else cond & e
@@ -3148,8 +3178,7 @@ def update(triples: DataFrame, sparql: str) -> DataFrame:
         if delete_df is not None:
             out = _anti_by_term(out, delete_df)
         if insert_df is not None:
-            keep = [c for c in _CORE + _LIT_META
-                    if c in triples.columns or c in _CORE]
+            keep = _CORE + [c for c in _LIT_META if c in triples.columns]
             out = out.unionByName(insert_df.select(*keep).distinct(),
                                   allowMissingColumns=True)
         return out
