@@ -5,8 +5,12 @@
 
 Uses the warehouse path (query_encoded over the persisted terms/triples
 dictionary tables — scans read only id columns) when the query fits its
-fragment, and falls back to the full lexical engine over the N-Triples
-export otherwise.  Results print as JSON lines (--limit rows) or write to
+fragment, and falls back to the full lexical engine over the SAME graph
+(the warehouse tables decoded back to lexical form) otherwise — both
+engines always answer over the canonical entity-linked KG.  The
+N-Triples export (the assertion-level record, with linking as explicit
+owl:sameAs statements) is parsed only when the warehouse tables are
+absent.  Results print as JSON lines (--limit rows) or write to
 --output as parquet.
 """
 
@@ -55,11 +59,27 @@ def main() -> None:
             print(f"encoded path unsupported ({e}); using lexical engine",
                   file=sys.stderr)
     if df is None:
-        from trident_spark.pipeline.sinks import from_ntriples
+        # the lexical engine must answer over the SAME graph the encoded
+        # engine queries: the canonical (entity-linked) warehouse tables,
+        # decoded back to lexical form.  The ntriples export is the
+        # assertion-level record (linking as explicit owl:sameAs) — it is
+        # the last resort only when the warehouse tables are absent.
+        try:
+            edges = spark.read.parquet(f"{kg}/triples")
+            terms = spark.read.parquet(f"{kg}/terms")
+            from trident_spark.pipeline.kg import decode_triples
 
-        lines = spark.read.text(f"{kg}/ntriples") \
-            .withColumnRenamed("value", "line")
-        df = query(from_ntriples(lines), args.query)
+            lex = decode_triples(edges, terms)
+            print("engine: lexical (decoded warehouse graph)",
+                  file=sys.stderr)
+        except AnalysisException:
+            from trident_spark.pipeline.sinks import from_ntriples
+
+            lex = from_ntriples(spark.read.text(f"{kg}/ntriples")
+                                .withColumnRenamed("value", "line"))
+            print("engine: lexical (parsed ntriples export)",
+                  file=sys.stderr)
+        df = query(lex, args.query)
 
     if args.output:
         df.write.mode("overwrite").parquet(args.output)

@@ -1437,9 +1437,25 @@ def test_query_encoded_rejects_unsupported(spark, encoded_kg):
     from trident_spark.query.sparql import query_encoded
 
     edges, terms, _ = encoded_kg
-    with pytest.raises(SparqlError, match="plain triple patterns"):
+    # r5: OPTIONAL is now supported — but first-position OPTIONAL keeps
+    # lexical-engine parity (raises), and shapes that would need §10.2
+    # compatibility joins reject loudly instead of answering wrong
+    with pytest.raises(SparqlError, match="first pattern"):
         query_encoded(edges, terms,
                       "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o } }")
+    with pytest.raises(SparqlError, match="plain triple patterns"):
+        query_encoded(edges, terms, """
+            SELECT ?s WHERE { ?s ?p ?o .
+                OPTIONAL { ?s ?q ?w . FILTER(?w > 1) } }""")
+    with pytest.raises(SparqlError, match="compatibility"):
+        query_encoded(edges, terms, """
+            SELECT ?s WHERE { ?s ?p ?o .
+                OPTIONAL { ?s <http://p/a> ?x }
+                OPTIONAL { ?x <http://p/b> ?y } }""")
+    with pytest.raises(SparqlError, match="no variable"):
+        query_encoded(edges, terms, """
+            SELECT ?s WHERE { ?s ?p ?o .
+                OPTIONAL { ?t <http://p/a> ?x } }""")
     # lifted r5: typed/lang-tagged literal constants now hash to the full
     # term identity id (kind, lexical, datatype, lang) — an unmatched
     # datatype simply selects nothing instead of raising
@@ -2700,3 +2716,83 @@ def test_graph_construct_preserves_literal_metadata(spark):
     """)
     ser = out.serialize("ntriples")
     assert '"indexed"@en' in ser
+
+
+def test_query_encoded_optional_differential(spark, encoded_kg):
+    """r5: trailing OPTIONAL in the warehouse engine — left join on id
+    keys, NULL ids decode to unbound — must match the lexical engine on
+    every shape it accepts."""
+    edges, terms, lexical = encoded_kg
+    # classic analytics shape: every typed subject, name when present
+    _differential(lexical, edges, terms, _PFX + """
+        SELECT ?s ?t ?n WHERE {
+            ?s a ?t . OPTIONAL { ?s schema:name ?n }
+        }""")
+    # two independent OPTIONALs (no shared introduced vars)
+    _differential(lexical, edges, terms, _PFX + """
+        SELECT ?s ?n ?u WHERE {
+            ?s a schema:Person .
+            OPTIONAL { ?s schema:name ?n }
+            OPTIONAL { ?s schema:url ?u }
+        }""")
+    # OPTIONAL var consumed by the tail: BOUND filter + aggregate
+    _differential(lexical, edges, terms, _PFX + """
+        SELECT ?t (COUNT(?n) AS ?named) WHERE {
+            ?s a ?t . OPTIONAL { ?s schema:name ?n }
+        } GROUP BY ?t""")
+    _differential(lexical, edges, terms, _PFX + """
+        SELECT ?s WHERE {
+            ?s a schema:Person . OPTIONAL { ?s schema:name ?n }
+            FILTER(!BOUND(?n))
+        }""")
+
+
+def test_query_encoded_optional_scan_stays_id_only(spark, encoded_kg):
+    from trident_spark.query.sparql import query_encoded
+
+    edges, terms, _ = encoded_kg
+    df = query_encoded(edges, terms, _PFX + """
+        SELECT ?s ?n WHERE {
+            ?s a schema:Person . OPTIONAL { ?s schema:name ?n }
+        }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every edge-table scan must read only the three id columns
+    import re as _re
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        if cols & {"subj_id", "pred_id", "obj_id"}:
+            assert cols <= {"subj_id", "pred_id", "obj_id"}, cols
+    assert df.count() > 0
+
+
+def test_decode_triples_round_trips_encode(spark, encoded_kg):
+    """r5: decode_triples(encode_triples(g)) == g on the 6 lexical
+    columns (as a set — the KG is a set of triples), so the CLI's
+    lexical fallback answers over exactly the encoded engine's graph."""
+    from trident_spark.pipeline.kg import decode_triples
+
+    edges, terms, lexical = encoded_kg
+    dec = decode_triples(edges, terms)
+    cols = ["subj", "pred", "obj_lexical", "obj_kind",
+            "obj_datatype", "obj_lang"]
+    want = {tuple(r) for r in lexical.select(*cols).distinct().collect()}
+    got = {tuple(r) for r in dec.select(*cols).collect()}
+    assert got == want
+
+
+def test_lexical_over_decoded_graph_matches_encoded(spark, encoded_kg):
+    """CLI parity: query(decode_triples(...)) and query_encoded(...) give
+    identical answers — incl. a shape only the lexical engine supports
+    having the same data under it."""
+    from trident_spark.pipeline.kg import decode_triples
+    from trident_spark.query.sparql import query, query_encoded
+
+    edges, terms, _ = encoded_kg
+    dec = decode_triples(edges, terms)
+    sparql = _PFX + """
+        SELECT ?s ?n WHERE {
+            ?s a schema:Person . OPTIONAL { ?s schema:name ?n }
+        }"""
+    want = {tuple(r) for r in query_encoded(edges, terms, sparql).collect()}
+    got = {tuple(r) for r in query(dec, sparql).collect()}
+    assert got == want and got

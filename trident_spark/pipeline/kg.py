@@ -142,6 +142,35 @@ def encode_triples(skolemized: DataFrame) -> tuple[DataFrame, DataFrame]:
     return terms, triples
 
 
+def decode_triples(triples: DataFrame, terms: DataFrame) -> DataFrame:
+    """Inverse of :func:`encode_triples` for querying: join the edge ids
+    back through the dictionary, rebuilding the 6-column lexical frame
+    the lexical SPARQL engine consumes.  Three hash joins on the terms
+    table (subjects/predicates are always IRIs post-skolemize, so only
+    the object position carries kind/datatype/lang).
+
+    This is how the CLI's lexical fallback sees the SAME graph the
+    encoded engine queries — the warehouse tables hold the CANONICAL
+    (entity-linked, CC-rewritten) KG, while the ntriples export is the
+    assertion-level record (linking as explicit owl:sameAs); parsing
+    the export would silently answer over a different graph."""
+    t = terms.select("term_id", "lexical", "kind", "datatype", "lang")
+    return (
+        triples
+        .join(t.select(F.col("term_id").alias("subj_id"),
+                       F.col("lexical").alias("subj")), "subj_id")
+        .join(t.select(F.col("term_id").alias("pred_id"),
+                       F.col("lexical").alias("pred")), "pred_id")
+        .join(t.select(F.col("term_id").alias("obj_id"),
+                       F.col("lexical").alias("obj_lexical"),
+                       F.col("kind").alias("obj_kind"),
+                       F.col("datatype").alias("obj_datatype"),
+                       F.col("lang").alias("obj_lang")), "obj_id")
+        .select("subj", "pred", "obj_lexical", "obj_kind",
+                "obj_datatype", "obj_lang")
+    )
+
+
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """RDF graphs are sets: distinct (s,p,o), keeping the earliest capture.
 

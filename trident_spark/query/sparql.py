@@ -3533,8 +3533,10 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
     pure-Python xxhash64 (util_xxhash.spark_xxhash64 — no terms lookup to
     plan a query), joins move longs, and projected variables decode with
     one terms join each at the end.  Supported fragment: plain-pattern
-    BGPs + FILTER + DISTINCT + GROUP BY/aggregates + ORDER/LIMIT/OFFSET —
-    the warehouse-analytics subset; use :func:`query` on a lexical view
+    BGPs + FILTER + trailing OPTIONAL (plain patterns, left-joined on id
+    keys; shapes needing §10.2 compatibility joins reject loudly) +
+    DISTINCT + GROUP BY/aggregates + ORDER/LIMIT/OFFSET — the
+    warehouse-analytics subset; use :func:`query` on a lexical view
     for the full 1.1 surface.
     """
     from trident_spark.util_xxhash import spark_xxhash64
@@ -3555,13 +3557,32 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
     pats = [el for el in group.elements if isinstance(el, _Pattern)]
     filters = [el[1] for el in group.elements
                if isinstance(el, tuple) and el and el[0] == "filter"]
-    if len(pats) + len(filters) != len(group.elements) or not pats:
+    optionals = [el[1] for el in group.elements
+                 if isinstance(el, tuple) and el and el[0] == "optional"]
+    if group.elements and isinstance(group.elements[0], tuple) \
+            and group.elements[0][0] == "optional":
+        raise SparqlError("OPTIONAL cannot be the first pattern")
+    if (len(pats) + len(filters) + len(optionals) != len(group.elements)
+            or not pats):
         raise SparqlError(
-            "query_encoded supports plain triple patterns + FILTER only")
-    for p in pats:
-        if isinstance(p.pred, tuple) or isinstance(p.obj, _Quoted):
+            "query_encoded supports plain triple patterns + FILTER + "
+            "OPTIONAL only")
+
+    def _plain_pats(elements, where: str) -> list[_Pattern]:
+        ps = [el for el in elements if isinstance(el, _Pattern)]
+        if len(ps) != len(elements) or not ps:
             raise SparqlError(
-                "query_encoded supports plain triple patterns only")
+                f"query_encoded {where} supports plain triple patterns "
+                "only")
+        for p in ps:
+            if isinstance(p.pred, tuple) or isinstance(p.obj, _Quoted):
+                raise SparqlError(
+                    f"query_encoded {where} supports plain triple "
+                    "patterns only")
+        return ps
+
+    _plain_pats(pats, "WHERE")
+    opt_pats = [_plain_pats(sub.elements, "OPTIONAL") for sub in optionals]
 
     def const_id(term: str, pos: str) -> int:
         if pos == "obj" and term.startswith('"'):
@@ -3594,31 +3615,63 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
         return spark_xxhash64("iri", _expand(term, prefixes), "", "")
 
     id_col = {"subj": "subj_id", "pred": "pred_id", "obj": "obj_id"}
-    plan: DataFrame | None = None
-    bound: set[str] = set()
-    for pat in _reorder_patterns(pats):
-        scan = edges
-        rename: dict[str, str] = {}
-        for pos, term in (("subj", pat.subj), ("pred", pat.pred),
-                          ("obj", pat.obj)):
-            if term.startswith("?"):
-                rename[pos] = term[1:]
+
+    def compile_bgp(pat_list: list[_Pattern],
+                    plan: DataFrame | None,
+                    bound: set[str]) -> tuple[DataFrame, set[str]]:
+        for pat in _reorder_patterns(pat_list):
+            scan = edges
+            rename: dict[str, str] = {}
+            for pos, term in (("subj", pat.subj), ("pred", pat.pred),
+                              ("obj", pat.obj)):
+                if term.startswith("?"):
+                    rename[pos] = term[1:]
+                else:
+                    scan = scan.where(
+                        F.col(id_col[pos]) == const_id(term, pos))
+            scan, rename = _dedupe_repeated_vars(
+                scan, {id_col[p]: v for p, v in rename.items()})
+            proj = [F.col(c).alias(f"_tid_{v}")
+                    for c, v in rename.items()]
+            idscan = (scan.select(*proj).distinct() if proj
+                      else scan.select(F.lit(1).alias("_m")).limit(1))
+            vars_ = set(rename.values())
+            if plan is None:
+                plan = idscan
             else:
-                scan = scan.where(
-                    F.col(id_col[pos]) == const_id(term, pos))
-        scan, rename = _dedupe_repeated_vars(
-            scan, {id_col[p]: v for p, v in rename.items()})
-        proj = [F.col(c).alias(f"_tid_{v}") for c, v in rename.items()]
-        idscan = (scan.select(*proj).distinct() if proj
-                  else scan.select(F.lit(1).alias("_m")).limit(1))
-        vars_ = set(rename.values())
-        if plan is None:
-            plan = idscan
-        else:
-            keys = [f"_tid_{v}" for v in sorted(bound & vars_)]
-            plan = plan.join(idscan, keys) if keys \
-                else plan.crossJoin(idscan)
-        bound |= vars_
+                keys = [f"_tid_{v}" for v in sorted(bound & vars_)]
+                plan = plan.join(idscan, keys) if keys \
+                    else plan.crossJoin(idscan)
+            bound |= vars_
+        return plan, bound
+
+    plan, bound = compile_bgp(pats, None, set())
+
+    # trailing OPTIONALs: §8.3 LeftJoin on the shared-variable id keys.
+    # Exact BECAUSE of two loud rejections — (a) an OPTIONAL-introduced
+    # variable re-shared by a LATER optional would need a §10.2
+    # compatibility join, (b) a disjoint OPTIONAL is a keep-left cross —
+    # both are lexical-engine territory, not silent wrong answers.
+    # Compiling every required pattern first is semantics-preserving
+    # under (a): Join(LeftJoin(P1,P2),P3) = LeftJoin(Join(P1,P3),P2)
+    # whenever vars(P2)∖vars(P1) ∩ vars(P3) = ∅, which (a) guarantees.
+    nullable: set[str] = set()
+    for sub_pats in opt_pats:
+        sub_plan, sub_bound = compile_bgp(sub_pats, None, set())
+        shared = sorted(bound & sub_bound)
+        if nullable & sub_bound:
+            raise SparqlError(
+                "query_encoded: a variable introduced by one OPTIONAL "
+                "is shared by a later OPTIONAL — needs the lexical "
+                "engine's compatibility joins (use query())")
+        if not shared:
+            raise SparqlError(
+                "query_encoded: OPTIONAL shares no variable with the "
+                "required patterns (use query())")
+        plan = plan.join(sub_plan,
+                         [f"_tid_{v}" for v in shared], "left")
+        nullable |= sub_bound - bound
+        bound |= sub_bound
 
     # decode: projection surface + filter vars (join-only vars stay ids)
     needed = (set(bound) if items is None
@@ -3634,7 +3687,10 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
             F.col("kind").alias(f"_kind_{v}"),
             F.col("datatype").alias(f"_dt_{v}"),
             F.col("lang").alias(f"_lang_{v}"))
-        plan = plan.join(dec, f"_tid_{v}")
+        # an OPTIONAL-introduced var may hold a NULL id (= unbound):
+        # decode with a LEFT join so the non-matching rows survive
+        plan = plan.join(dec, [f"_tid_{v}"],
+                         "left" if v in nullable else "inner")
     for ftoks in filters:
         plan = plan.where(_filter_sql(ftoks, set(plan.columns)))
     plan = plan.drop(*[c for c in plan.columns
