@@ -43,36 +43,39 @@ def main() -> None:
 
     from pyspark.errors import AnalysisException
 
+    # AnalysisException: kg dir lacks terms/triples parquet (e.g. an
+    # N-Triples-only export) — both engines then fall back to parsing it.
+    try:
+        edges = spark.read.parquet(f"{kg}/triples")
+        terms = spark.read.parquet(f"{kg}/terms")
+    except AnalysisException:
+        edges = terms = None
+
     df = None
-    if args.engine in ("auto", "encoded"):
-        # AnalysisException: kg dir lacks terms/triples parquet (e.g. an
-        # N-Triples-only export) — in auto mode that falls through to the
-        # lexical engine just like an unsupported query fragment does.
+    if args.engine in ("auto", "encoded") and edges is not None:
         try:
-            edges = spark.read.parquet(f"{kg}/triples")
-            terms = spark.read.parquet(f"{kg}/terms")
             df = query_encoded(edges, terms, args.query)
             print("engine: encoded (id-column scans)", file=sys.stderr)
-        except (SparqlError, AnalysisException) as e:
+        except SparqlError as e:
             if args.engine == "encoded":
                 raise
             print(f"encoded path unsupported ({e}); using lexical engine",
                   file=sys.stderr)
+    elif args.engine == "encoded":
+        raise SystemExit(f"--engine encoded needs {kg}/triples + /terms")
     if df is None:
         # the lexical engine must answer over the SAME graph the encoded
         # engine queries: the canonical (entity-linked) warehouse tables,
         # decoded back to lexical form.  The ntriples export is the
         # assertion-level record (linking as explicit owl:sameAs) — it is
         # the last resort only when the warehouse tables are absent.
-        try:
-            edges = spark.read.parquet(f"{kg}/triples")
-            terms = spark.read.parquet(f"{kg}/terms")
+        if edges is not None:
             from trident_spark.pipeline.kg import decode_triples
 
             lex = decode_triples(edges, terms)
             print("engine: lexical (decoded warehouse graph)",
                   file=sys.stderr)
-        except AnalysisException:
+        else:
             from trident_spark.pipeline.sinks import from_ntriples
 
             lex = from_ntriples(spark.read.text(f"{kg}/ntriples")

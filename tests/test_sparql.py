@@ -2796,3 +2796,88 @@ def test_lexical_over_decoded_graph_matches_encoded(spark, encoded_kg):
     want = {tuple(r) for r in query_encoded(edges, terms, sparql).collect()}
     got = {tuple(r) for r in query(dec, sparql).collect()}
     assert got == want and got
+
+
+def test_query_encoded_optional_order_guards(spark, encoded_kg):
+    """r5 review: the OPTIONAL hoist is exact only when no required
+    pattern FOLLOWS an OPTIONAL sharing a variable it introduces, and
+    OPTIONAL-first parity must survive leading FILTERs.  Both shapes
+    were live-confirmed silent wrong answers before the guards."""
+    from trident_spark.query.sparql import query, query_encoded
+
+    edges, terms, lexical = encoded_kg
+    # required pattern after an OPTIONAL, sharing its introduced ?n:
+    # lexical answers (ground truth), encoded must reject loudly
+    q1 = _PFX + """SELECT ?s ?n WHERE {
+        ?s a schema:Person . OPTIONAL { ?s schema:name ?n }
+        ?s schema:url ?n }"""
+    with pytest.raises(SparqlError, match="introduces"):
+        query_encoded(edges, terms, q1)
+    query(lexical, q1).collect()  # the slow path accepts it
+    # leading FILTER must not bypass the OPTIONAL-first guard
+    q2 = _PFX + """SELECT ?s ?t WHERE {
+        FILTER(true) OPTIONAL { ?s schema:name ?o } ?s a ?t }"""
+    with pytest.raises(SparqlError, match="first pattern"):
+        query_encoded(edges, terms, q2)
+    with pytest.raises(SparqlError, match="first pattern"):
+        query(lexical, q2).collect()
+    # a shared var already bound BEFORE the OPTIONAL stays supported
+    # (not "introduced" by it), and the required pattern may follow
+    _differential(lexical, edges, terms, _PFX + """
+        SELECT ?s ?n WHERE {
+            ?s a schema:Person . ?s schema:name ?n .
+            OPTIONAL { ?s schema:name ?n }
+            ?s a schema:Person }""")
+
+
+def test_query_encoded_optional_differential_fuzz(spark, encoded_kg):
+    """CLAUDE.md rule 8: the encoded engine is a fast path of query();
+    gate it with a randomized differential over element ORDER and
+    variable sharing — the dimension the hand-picked shapes missed.
+    Contract per shape: if the lexical engine raises, encoded must not
+    answer; if encoded answers, the multiset must equal the lexical
+    engine's."""
+    import random
+    from collections import Counter
+
+    from trident_spark.query.sparql import query, query_encoded
+
+    edges, terms, lexical = encoded_kg
+    rng = random.Random(7)
+    PREDS = ["schema:name", "schema:url", "schema:worksFor",
+             "schema:jobTitle"]
+    VARS = ["?a", "?b", "?c", "?d"]
+
+    def rand_pat(rng):
+        s = rng.choice(VARS)
+        if rng.random() < 0.3:
+            return f"{s} a schema:Person ."
+        o = rng.choice(VARS + [VARS[0]])
+        return f"{s} {rng.choice(PREDS)} {o} ."
+
+    checked = 0
+    for _ in range(14):
+        els = [rand_pat(rng) for _ in range(rng.randint(1, 2))]
+        els += [f"OPTIONAL {{ {rand_pat(rng)} }}"
+                for _ in range(rng.randint(0, 2))]
+        rng.shuffle(els)
+        vs = sorted({t for e in els for t in e.split()
+                     if t.startswith("?")})
+        q = _PFX + "SELECT " + " ".join(vs) + \
+            " WHERE { " + " ".join(els) + " }"
+        try:
+            want = Counter(tuple(r) for r in query(lexical, q).collect())
+            lex_raised = False
+        except SparqlError:
+            lex_raised = True
+        try:
+            got = Counter(
+                tuple(r) for r in query_encoded(edges, terms, q).collect())
+        except SparqlError:
+            got = None  # loud fallback — always acceptable
+        if lex_raised:
+            assert got is None, q  # must not answer what query() rejects
+        elif got is not None:
+            assert got == want, q
+            checked += 1
+    assert checked >= 4  # the fuzz actually exercised the fast path

@@ -3559,9 +3559,39 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
                if isinstance(el, tuple) and el and el[0] == "filter"]
     optionals = [el[1] for el in group.elements
                  if isinstance(el, tuple) and el and el[0] == "optional"]
-    if group.elements and isinstance(group.elements[0], tuple) \
-            and group.elements[0][0] == "optional":
-        raise SparqlError("OPTIONAL cannot be the first pattern")
+    # §18.2 translation is left-to-right — two ORDER-sensitive guards
+    # (compile_bgp below hoists every required pattern ahead of the left
+    # joins, which is exact only under these):
+    # (a) an OPTIONAL before the first required pattern raises, matching
+    #     the lexical engine (even when FILTERs precede the OPTIONAL);
+    # (b) a required pattern that FOLLOWS an OPTIONAL and shares a
+    #     variable that OPTIONAL introduces breaks the hoist —
+    #     Join(LeftJoin(P1,P2),P3) = LeftJoin(Join(P1,P3),P2) only when
+    #     (vars(P2)∖vars(P1)) ∩ vars(P3) = ∅ — reject loudly, never a
+    #     silent wrong answer.
+    walk_bound: set[str] = set()
+    walk_intro: set[str] = set()
+    walk_pat_seen = False
+    for el in group.elements:
+        if isinstance(el, _Pattern):
+            pv = _pattern_vars(el)
+            if pv & walk_intro:
+                raise SparqlError(
+                    "query_encoded: a required pattern after an OPTIONAL "
+                    "shares a variable the OPTIONAL introduces — needs "
+                    "the lexical engine's compatibility joins (use "
+                    "query())")
+            walk_bound |= pv
+            walk_pat_seen = True
+        elif isinstance(el, tuple) and el and el[0] == "optional":
+            if not walk_pat_seen:
+                raise SparqlError("OPTIONAL cannot be the first pattern")
+            ov: set[str] = set()
+            for sp in el[1].elements:
+                if isinstance(sp, _Pattern):
+                    ov |= _pattern_vars(sp)
+            walk_intro |= ov - walk_bound
+            walk_bound |= ov
     if (len(pats) + len(filters) + len(optionals) != len(group.elements)
             or not pats):
         raise SparqlError(
