@@ -2860,9 +2860,15 @@ def test_query_encoded_optional_differential_fuzz(spark, encoded_kg):
         els = [rand_pat(rng) for _ in range(rng.randint(1, 2))]
         els += [f"OPTIONAL {{ {rand_pat(rng)} }}"
                 for _ in range(rng.randint(0, 2))]
-        rng.shuffle(els)
+        # vars to project: only those bound by patterns (a filter-only
+        # var is never bindable); collect BEFORE adding filters
         vs = sorted({t for e in els for t in e.split()
                      if t.startswith("?")})
+        els += [rng.choice([f"FILTER(BOUND({rng.choice(VARS)}))",
+                            f"FILTER(!BOUND({rng.choice(VARS)}))",
+                            "FILTER(true)"])
+                for _ in range(rng.randint(0, 1))]
+        rng.shuffle(els)
         q = _PFX + "SELECT " + " ".join(vs) + \
             " WHERE { " + " ".join(els) + " }"
         try:
