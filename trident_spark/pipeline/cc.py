@@ -22,58 +22,98 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view, deduped, hash-partitioned by ``u``.
+
+    Both directions come from ONE explode (not a self-union, which would
+    duplicate the upstream subtree in every per-round plan and balloon
+    analysis time across CC iterations).  The explicit ``repartition("u")``
+    is the round's ONE exchange: the following dropDuplicates clusters on
+    (u, v) — satisfied by the hash(u) partitioning (subset rule) — and the
+    star round's window partitions on u alone, so neither inserts a
+    further shuffle."""
+    u, v = F.col(src), F.col(dst)
+    both = edges.select(
+        F.explode(F.array(
+            F.struct(u.alias("u"), v.alias("v")),
+            F.struct(v.alias("u"), u.alias("v")),
+        )).alias("_e")
+    ).select("_e.u", "_e.v")
     return (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .where(F.col("u") != F.col("v"))
+        both.where(F.col("u") != F.col("v"))
+        .repartition(F.col("u"))
         .dropDuplicates(["u", "v"])
     )
 
 
 def _star_round(sym: DataFrame, large: bool) -> DataFrame:
     """One large-star (connect strictly-larger neighbours to the min) or
-    small-star (connect smaller-or-equal neighbours and self to the min)."""
-    mins = sym.groupBy("u").agg(F.min("v").alias("nmin"))
-    m = mins.select("u", F.least(F.col("u"), F.col("nmin")).alias("m"))
-    j = sym.join(m, "u")
-    if large:
-        out = j.where(F.col("v") > F.col("u")).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        keep = m.select("u", F.col("m").alias("v"))  # (u, m) keeps u attached
-        out = out.union(keep)
-    else:
-        out = j.where(F.col("v") <= F.col("u")).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        out = out.union(m.select("u", F.col("m").alias("v")))
-    return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    small-star (connect smaller-or-equal neighbours and self to the min).
+
+    m(u) = min(u ∪ N(u)) comes from a window over the symmetric edge set —
+    a per-partition sort instead of the former groupBy(min)+join pair, so
+    the half-round adds ZERO exchanges on top of :func:`_symmetrize`'s one
+    (the input is already hash(u)-partitioned).  The moved edge (v, m) and
+    the keep edge (u, m) are emitted by one conditional explode so the
+    input subtree appears once in the plan.  Output edges are directed
+    (child → parent) and may repeat; the next _symmetrize dedups."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u")
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
+    j = sym.withColumn("m", F.least(u, F.min("v").over(w)))
+    moved = v > u if large else v <= u
+    keep = F.struct(u.alias("u"), m.alias("v"))
+    out = j.select(
+        F.explode(
+            F.when(moved, F.array(F.struct(v.alias("u"), m.alias("v")), keep))
+            .otherwise(F.array(keep))
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
+    return out.where(F.col("u") != F.col("v"))
 
 
 def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Alternating large-star/small-star → labels(node, component)."""
-    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    # materialize the (possibly expensive) upstream edges pipeline exactly
+    # once: BOTH the iteration loop and the final nodes frame reference it —
+    # without this checkpoint the labels join at the end re-runs the whole
+    # upstream (e.g. the LSH candidate pipeline in dedup_clusters)
+    base = edges.select("src", "dst").localCheckpoint(eager=True)
+    cur = _symmetrize(base)
     # nodes come from the raw edges so self-loop-only nodes (filtered out of
     # the symmetrized edge set) still receive their own-id label
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        base.select(F.col("src").alias("node"))
+        .union(base.select(F.col("dst").alias("node")))
         .distinct()
     )
-    prev_hash = None
     for _ in range(max_iter):
-        cur = _star_round(_symmetrize(cur, "u", "v"), large=True)
-        cur = _star_round(_symmetrize(cur, "u", "v"),
-                          large=False).localCheckpoint(eager=True)
-        h = cur.agg(
-            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("x")
-        ).first()
-        sig = (h["n"], h["x"])
-        if sig == prev_hash:
+        cur = _symmetrize(_star_round(cur, large=True), "u", "v")
+        cur = _symmetrize(_star_round(cur, large=False),
+                          "u", "v").localCheckpoint(eager=True)
+        # converged ⟺ the symmetric set is a union of min-centered stars:
+        # every node either sees only larger neighbours (a centre) or has
+        # exactly one, smaller, neighbour (a leaf).  A node with a smaller
+        # neighbour AND degree > 1 violates that; zero violations means the
+        # next rounds would be no-ops, so stop NOW — one tiny aggregation
+        # on the checkpointed set instead of a full confirm iteration
+        # (the former signature-equality check always ran one extra round).
+        converged = (
+            cur.groupBy("u")
+            .agg(F.min("v").alias("nmin"), F.count("*").alias("deg"))
+            .where((F.col("nmin") < F.col("u")) & (F.col("deg") > 1))
+            .isEmpty()
+        )
+        if converged:
             break
-        prev_hash = sig
-    # converged: every non-min node u has edge (u, component_min)
-    labels = cur.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    # converged: a symmetric star — every member's sole neighbour is the
+    # component minimum, and the minimum's neighbours are the members, so
+    # component(n) = least(n, min neighbour) for every node
+    labels = (
+        cur.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("component"))
+    )
     # minima label themselves; isolated self-loop nodes keep their own id
     return (
         nodes.join(labels, "node", "left")
