@@ -44,6 +44,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _DOC_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DISTINCT_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,11 +71,22 @@ def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _distinct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    """Distinct 6-column triples, materialized once per (session, sf_dir)
+    like :func:`_doc_triples`: five serializer/stat queries start from this
+    exact frame, and the distinct is a full shuffle of the text-bearing
+    literals — without the checkpoint each of them re-pays it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DISTINCT_TRIPLES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = (
         _doc_triples(spark, sf_dir)
         .select("subj", "pred", "obj_lexical", "obj_kind", "obj_datatype", "obj_lang")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    _DISTINCT_TRIPLES_CACHE[key] = out
+    return out
 
 
 def _doc_quads(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,9 +36,18 @@ def _escape_literal(col):
 
 
 def _render_iri(col):
-    """<iri>, converting IRIs to URIs only when non-ASCII chars exist."""
+    """<iri>, converting IRIs to URIs only when non-ASCII chars exist.
+
+    The pandas UDF cannot be evaluated conditionally — Spark lifts it into
+    an ArrowEvalPython node that runs on EVERY row — so its INPUT is
+    null-gated: ASCII rows (the crawl bulk) cross the Arrow boundary as
+    nulls instead of shipping their bytes (guide §4: pass only what the
+    function needs), and the batch dedup then does O(distinct non-ASCII)
+    Python work."""
     needs_conv = col.rlike(_NON_ASCII)
-    converted = F.when(needs_conv, iri_to_uri(col)["value"]).otherwise(col)
+    converted = F.when(
+        needs_conv, iri_to_uri(F.when(needs_conv, col))["value"]
+    ).otherwise(col)
     return F.concat(F.lit("<"), converted, F.lit(">"))
 
 
@@ -48,7 +57,11 @@ def _render_object():
     lit_lang = F.concat(lit, F.lit("@"), F.col("obj_lang"))
     lit_dt = F.concat(lit, F.lit("^^"), _render_iri(F.col("obj_datatype")))
     return (
-        F.when(F.col("obj_kind") == "iri", _render_iri(obj))
+        # kind-gate the rendered column too: without it a non-ASCII text
+        # literal would pass _render_iri's rlike gate and ship its whole
+        # body through the Arrow hop just to be discarded by this when
+        F.when(F.col("obj_kind") == "iri",
+               _render_iri(F.when(F.col("obj_kind") == "iri", obj)))
         # non-skolemized frames may still carry blank nodes: emit the bare
         # _:label — without this branch they'd fall through to the literal
         # arm and silently serialize as the string "_:b1"
