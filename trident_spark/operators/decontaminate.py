@@ -65,7 +65,13 @@ def contamination_scores(docs: DataFrame, benchmark: DataFrame,
     large benchmark (or tiny ``n`` on long items — gram explosion): the
     join falls back to AQE's choice instead of OOMing executors on an
     oversized broadcast."""
-    d = _gram_hashes(docs, "id", text_col, id_col, n)
+    from trident_spark.util import ensure_parallelism
+
+    # the corpus-side gram explosion (n-gram build + md5 per gram) is the
+    # operator's compute bulk and otherwise runs inside the scan stage —
+    # one task per row group (rule 3: single-row-group inputs scan as ONE
+    # task).  The benchmark side is tiny by contract; leave it alone.
+    d = _gram_hashes(ensure_parallelism(docs), "id", text_col, id_col, n)
     b = _gram_hashes(benchmark, "bench_id", bench_text_col,
                      bench_id_col, n)
     bench_sizes = b.groupBy("bench_id").agg(

@@ -262,8 +262,13 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
             F.size(toks) >= n,
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
         ).otherwise(F.array().cast("array<string>"))
+    from trident_spark.util import ensure_parallelism
+
+    # gram build + explode + map-side partial count all run in the scan
+    # stage — parallelize it (rule 3: single-row-group inputs scan as ONE
+    # task); real multi-split corpora skip the repartition entirely
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        ensure_parallelism(docs).select(F.explode(grams).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
