@@ -72,7 +72,13 @@ def pii_signals(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Per-document PII counts: (id, n_email, n_credit_card, n_ssn,
     n_phone, n_ipv4, n_pii_total).  Pure codegen — one narrow pass."""
-    out = docs.select(F.col(id_col).alias("id"), *_count_cols(text_col))
+    from trident_spark.util import ensure_parallelism
+
+    # the regex passes run inside the scan stage (zero shuffles by design);
+    # rule 3: single-row-group inputs scan as ONE task, so spread the scan
+    # when the plan has no other source of parallelism
+    out = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), *_count_cols(text_col))
     return out.withColumn("n_pii_total", _total_col())
 
 
@@ -80,8 +86,10 @@ def pii_report(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Counts AND redaction in ONE narrow projection (no join, no second
     scan): (id, n_<category>..., n_pii_total, redacted, was_redacted)."""
+    from trident_spark.util import ensure_parallelism
+
     red = _redacted_col(text_col)
-    out = docs.select(
+    out = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), *_count_cols(text_col),
         red.alias("redacted"),
         (red != F.col(text_col)).alias("was_redacted"),
@@ -93,8 +101,10 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, text) with every detected span replaced by its category token
     — see ``_redacted_col`` ordering.  Returns (id, text, was_redacted)."""
+    from trident_spark.util import ensure_parallelism
+
     red = _redacted_col(text_col)
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         red.alias("text"),
         (red != F.col(text_col)).alias("was_redacted"),
