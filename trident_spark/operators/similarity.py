@@ -128,8 +128,12 @@ def _normalized(embeddings: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, v): unit-normalized double vectors.  The norm is computed once
     into a column — putting the aggregate inside the transform lambda would
     re-evaluate it per element (O(dim²) per row)."""
+    from trident_spark.util import ensure_parallelism
+
+    # normalization, hyperplane signatures and the downstream dot rescores
+    # all pipeline with this scan — spread single-row-group inputs (rule 3)
     return (
-        embeddings.select(
+        ensure_parallelism(embeddings).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("_raw"),
             _norm(F.col(vec_col)).alias("_n"),
