@@ -32,7 +32,9 @@ def _escape_literal(col):
     c = F.regexp_replace(c, "\n", "\\\\n")
     c = F.regexp_replace(c, "\r", "\\\\r")
     c = F.regexp_replace(c, "\t", "\\\\t")
-    return c
+    # literals needing no escape (the crawl bulk) take one rlike scan
+    # instead of five copying regexp_replace passes
+    return F.when(col.rlike('[\\\\"\n\r\t]'), c).otherwise(col)
 
 
 def _render_iri(col):
