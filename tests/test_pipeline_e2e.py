@@ -263,3 +263,30 @@ def test_sink_iceberg_requires_catalog(spark):
 
     with _pytest.raises(ValueError):
         Sink(spark, "/x", table_format="iceberg")
+
+
+def test_link_score_col_matches_udf(spark):
+    """Rule 8: the Catalyst link score must match the pandas-UDF reference
+    bit-for-bit over edge inputs (empty/whitespace mentions, unicode
+    spaces, repeated tokens, exact vs partial overlap)."""
+    from trident_spark.pipeline.linking import link_score, link_score_col
+
+    rows = [
+        ("Acme Corp", "acme corp", 0.9),
+        ("Acme  Corp ", "Acme Corp", 0.5),
+        ("acme", "acme corp", 0.25),
+        ("", "", 0.1),
+        ("   ", "acme", 0.7),
+        ("a b a b", "b a", 0.33),
+        ("Globex Inc", "globex inc", 0.6),
+        ("tab\tsep", "tab sep", 0.4),
+        ("unrelated words", "acme corp", 1.0),
+        ("Acme", "ACME", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "mention string, alias string, prior double")
+    out = df.select(
+        link_score(F.col("mention"), F.col("alias"), F.col("prior")).alias("udf"),
+        link_score_col(F.col("mention"), F.col("alias"), F.col("prior")).alias("col"),
+    ).collect()
+    for r in out:
+        assert r["udf"] == r["col"], (r["udf"], r["col"])

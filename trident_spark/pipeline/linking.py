@@ -32,12 +32,32 @@ MENTION_PREDICATES = (
 )
 
 
+def link_score_col(mention, alias, prior):
+    """Candidate score as a pure Catalyst expression (no Arrow hop):
+    exact match → 1.0; otherwise token-Jaccard of the lowercased word
+    sets, blended 70/30 with the popularity prior — the same arithmetic,
+    in the same order, as the :func:`link_score` pandas UDF it replaced
+    (kept below as the differential-test reference, rule 8).  ``(?U)\\s+``
+    matches Python ``str.split``'s Unicode-whitespace behaviour."""
+    m, a = F.lower(F.trim(mention)), F.lower(F.trim(alias))
+    mt = F.array_distinct(F.split(m, r"(?U)\s+"))
+    at = F.array_distinct(F.split(a, r"(?U)\s+"))
+    inter = F.size(F.array_intersect(mt, at)).cast("double")
+    union = F.size(F.array_union(mt, at)).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    exact = F.when(m == a, F.lit(1.0)).otherwise(F.lit(0.0))
+    sim = F.greatest(exact, jac)
+    return sim * F.lit(0.7) + prior.cast("double") * F.lit(0.3)
+
+
 @pandas_udf(DoubleType())
 def link_score(mention: pd.Series, alias: pd.Series, prior: pd.Series) -> pd.Series:
     """Batched candidate score: normalized-edit-free similarity + prior.
 
     Deterministic and cheap: exact match → 1.0; otherwise token-Jaccard of
     the lowercased word sets, blended 70/30 with the popularity prior.
+    (Reference implementation for the differential test; the query path
+    uses :func:`link_score_col`.)
     """
     m = mention.str.lower().str.strip()
     a = alias.str.lower().str.strip()
@@ -91,7 +111,7 @@ def link_entities(skolemized: DataFrame, alias_dict: DataFrame,
         "alias_key",
     )
     scored = cands.withColumn(
-        "score", link_score(F.col("mention"), F.col("alias"), F.col("prior"))
+        "score", link_score_col(F.col("mention"), F.col("alias"), F.col("prior"))
     ).where(F.col("score") >= min_score)
 
     w = Window.partitionBy("mention_subj", "alias_key").orderBy(
