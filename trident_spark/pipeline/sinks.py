@@ -199,12 +199,22 @@ def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
     block in ONE task at corpus scale."""
 
     def compact(col):
-        out = F.concat(F.lit("<"), col, F.lit(">"))
-        for name, ns in pfx.items():
-            local = F.substring(col, len(ns) + 1, 100000)
-            is_local = col.startswith(ns) & local.rlike(r"^[A-Za-z0-9_\-]*$")
-            out = F.when(is_local, F.concat(F.lit(name + ":"), local)).otherwise(out)
-        return out
+        # pick the matching prefix with cheap startswith tests, then run ONE
+        # local-name safety rlike (the old shape paid a regex per prefix)
+        if not pfx:
+            return F.concat(F.lit("<"), col, F.lit(">"))
+        name = None
+        nslen = None
+        for p_name, ns in pfx.items():
+            hit = col.startswith(ns)
+            n = F.when(hit, F.lit(p_name + ":"))
+            ln = F.when(hit, F.lit(len(ns)))
+            name = n if name is None else F.coalesce(name, n)
+            nslen = ln if nslen is None else F.coalesce(nslen, ln)
+        local = col.substr(nslen + 1, F.lit(100000))
+        ok = name.isNotNull() & local.rlike(r"^[A-Za-z0-9_\-]*$")
+        return F.when(ok, F.concat(name, local)).otherwise(
+            F.concat(F.lit("<"), col, F.lit(">")))
 
     obj = F.col("obj_lexical")
     lit = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
