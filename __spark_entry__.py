@@ -504,7 +504,7 @@ def q_kg_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?doc ?org_name WHERE {
@@ -531,7 +531,7 @@ def q_kg_sparql_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?doc ?n WHERE {
@@ -558,7 +558,7 @@ def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     res = query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?s ?t ?name WHERE {
@@ -568,7 +568,7 @@ def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     ).select("s", "t", F.coalesce("name", F.lit("")).alias("name"))
     rejoin = query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?s ?t ?name WHERE {
@@ -609,10 +609,7 @@ def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir).select(
-            "subj", "pred", "obj_lexical", "obj_kind", "obj_datatype",
-            "obj_lang",
-        ).distinct(),
+        _distinct_triples(spark, sf_dir),
         """
         SELECT ?t (COUNT(?s) AS ?n) WHERE {
             ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t .
@@ -633,7 +630,7 @@ def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT DISTINCT ?x WHERE {
@@ -657,7 +654,7 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?doc ?org_name WHERE {
@@ -678,7 +675,7 @@ def q_kg_sparql_minus_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT DISTINCT ?s ?m WHERE {
@@ -708,7 +705,7 @@ def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?d WHERE {
@@ -734,7 +731,7 @@ def q_kg_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?org (COUNT(?d) AS ?n) WHERE {
@@ -756,7 +753,7 @@ def q_kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT DISTINCT ?label WHERE {
@@ -777,7 +774,7 @@ def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT ?org ?n WHERE {
@@ -800,7 +797,7 @@ def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         ASK { ?d schema:inLanguage "en" }
@@ -822,7 +819,7 @@ def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import construct
 
     return construct(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         CONSTRUCT { ?org schema:published ?d .
@@ -926,7 +923,7 @@ def q_kg_sparql_datatype(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         f"""
         PREFIX schema: <https://schema.org/>
         SELECT ?s ?c WHERE {{
@@ -950,7 +947,7 @@ def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import update
 
     return update(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         DELETE { ?d schema:provider ?org }
@@ -1088,7 +1085,7 @@ def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import describe
 
     return describe(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         DESCRIBE ?org WHERE {
@@ -2446,7 +2443,7 @@ def q_kg_sparql_bind_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT DISTINCT ?label ?n WHERE {
@@ -2473,7 +2470,7 @@ def q_kg_sparql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.query.sparql import query
 
     return query(
-        _doc_triples(spark, sf_dir),
+        _distinct_triples(spark, sf_dir),
         """
         PREFIX schema: <https://schema.org/>
         SELECT DISTINCT ?doc ?langU ?srcnum ?sizeclass ?nlen ?nmh ?tzd WHERE {
