@@ -768,3 +768,15 @@ def test_canonical_urls_strict_idna(spark):
     assert out[3]["canonical_url"] is None
     assert out[3]["host_idna_error"] is None
     assert out[4]["host_idna_error"] is None
+
+
+def test_minhash_verify_prunes_gram_side(docs):
+    """r6 optimization guard: the exact-Jaccard verify stage must compute
+    gram arrays only for documents that appear in a candidate pair — the
+    plan carries a LeftSemi prune of the docs scan before the gram
+    projection (guide §3.2 semi-join pre-filter)."""
+    from trident_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan

@@ -2778,6 +2778,9 @@ def test_decode_triples_round_trips_encode(spark, encoded_kg):
     want = {tuple(r) for r in lexical.select(*cols).distinct().collect()}
     got = {tuple(r) for r in dec.select(*cols).collect()}
     assert got == want
+    # ADVICE r5: the inner dictionary joins must not drop edges — decode
+    # row count equals edge count (no dangling term_id by construction)
+    assert dec.count() == edges.count()
 
 
 def test_lexical_over_decoded_graph_matches_encoded(spark, encoded_kg):

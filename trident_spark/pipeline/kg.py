@@ -153,7 +153,13 @@ def decode_triples(triples: DataFrame, terms: DataFrame) -> DataFrame:
     encoded engine queries — the warehouse tables hold the CANONICAL
     (entity-linked, CC-rewritten) KG, while the ntriples export is the
     assertion-level record (linking as explicit owl:sameAs); parsing
-    the export would silently answer over a different graph."""
+    the export would silently answer over a different graph.
+
+    Inner joins are safe here BY CONSTRUCTION: encode_triples derives the
+    term table and the edge ids from the same rows in one pass, so every
+    edge id has a dictionary row (the round-trip test counts both sides).
+    A hand-built warehouse with dangling ids would silently drop triples —
+    run a count parity check first if the tables come from elsewhere."""
     t = terms.select("term_id", "lexical", "kind", "datatype", "lang")
     return (
         triples

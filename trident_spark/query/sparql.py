@@ -1476,7 +1476,10 @@ def _compat_parts_join(plan: DataFrame, scan: DataFrame, keys: list[str],
     # compat joins whose left input is already a part-union) that means
     # re-executing the same upstream work 2^k times — truncate lineage
     # with a lazy localCheckpoint so the parts share one materialized
-    # input instead (the common 1-key cases stay pure Catalyst)
+    # input instead (the common 1-key cases stay pure Catalyst).  NB:
+    # localCheckpoint stores partitions unreplicated on executors — fine
+    # in local mode (this repo's deployment); on a cluster with executor
+    # loss or dynamic allocation prefer reliable checkpointing here
     n_parts = (1 << len(left_null)) * (1 << len(right_null))
     if n_parts > 4:
         plan = plan.localCheckpoint(eager=False)
@@ -3624,8 +3627,10 @@ def query_encoded(edges: DataFrame, terms: DataFrame,
                 # RDF 1.2 base direction rides as a `--ltr/--rtl` suffix:
                 # split it off (case-insensitively, like the lexical
                 # engine's lower() comparison), canonicalize the tag part,
-                # re-attach the lowercased direction — mirroring
-                # pipeline/kg.normalize_literal_langs exactly
+                # re-attach the lowercased direction — mirroring the
+                # lexical engine's lower() comparison (the pipeline's
+                # ingest regex is case-sensitive, so stored tags are
+                # canonical lowercase-direction forms either way)
                 from trident_spark.kernels import langtag as L
                 m_dir = re.search(r"--(ltr|rtl)$", lang, re.IGNORECASE)
                 base = lang[: m_dir.start()] if m_dir else lang
