@@ -483,7 +483,7 @@ SELECT predicate, n FROM counts
 
 
 def q_kg_bgp_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
-    triples = _doc_triples(spark, sf_dir)
+    triples = _distinct_triples(spark, sf_dir)
     provider = triples.where(F.col("pred") == SCHEMA + "provider").select(
         F.col("subj").alias("doc"), F.col("obj_lexical").alias("org")
     )
@@ -852,7 +852,7 @@ def q_kg_rdfstar_reify(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering, hashing, or the triple-term parser all go red."""
     from trident_spark.pipeline import rdfstar, sinks
 
-    prov = _doc_triples(spark, sf_dir).where(
+    prov = _distinct_triples(spark, sf_dir).where(
         F.col("pred") == SCHEMA + "provider")
     reified = rdfstar.reify(
         prov.withColumn("prov_doc", F.col("subj")),
@@ -886,7 +886,7 @@ def q_kg_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trident_spark.pipeline import rdfstar
     from trident_spark.query.sparql import query
 
-    prov = _doc_triples(spark, sf_dir).where(
+    prov = _distinct_triples(spark, sf_dir).where(
         F.col("pred") == SCHEMA + "provider")
     reified = rdfstar.reify(
         prov.withColumn("prov_doc", F.col("subj")),
