@@ -45,6 +45,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _DOC_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 _DISTINCT_TRIPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,14 +1350,28 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
 """
 
 
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified LSH pair set (96/32, threshold 0.5 — the parameters BOTH
+    dedup queries use), materialized once per (session, sf_dir) like
+    _doc_triples: dedup_minhash_lsh and dedup_clusters otherwise each
+    re-run the identical signature/banding/verify pipeline."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from trident_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), n_hashes=96, bands=32, threshold=0.5
+    ).localCheckpoint(eager=True)
+    _MINHASH_PAIRS_CACHE[key] = out
+    return out
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH candidates are exact-Jaccard-verified, and on this corpus recall is
     # 1.0 (asserted in tests/), so the exact n-gram-Jaccard oracle applies.
-    from trident_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), n_hashes=96, bands=32, threshold=0.5
-    ).select("a", "b")
+    return _minhash_pairs(spark, sf_dir).select("a", "b")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,7 +1380,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the exact-Jaccard pairs with min-reachable-id labels."""
     from trident_spark.operators.dedup import dedup_clusters
 
-    return dedup_clusters(_read(spark, sf_dir, "documents"))
+    return dedup_clusters(_read(spark, sf_dir, "documents"),
+                          pairs=_minhash_pairs(spark, sf_dir))
 
 
 _DEDUP_CLUSTERS_ORACLE = f"""
