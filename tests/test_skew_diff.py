@@ -95,3 +95,36 @@ def test_cc_self_loop_only_node_keeps_own_id(spark):
     labels = {r["node"]: r["component"]
               for r in cc.connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 7: 7}
+
+
+def test_cc_star_matches_labelprop_hub_and_chains(spark):
+    """r6: the restructured star rounds (window-m, explode symmetrize,
+    one-shot convergence test) against label propagation on a nastier
+    mix: a high-degree hub, several chains, cliques, and isolated
+    self-loops in one graph."""
+    import random
+
+    from trident_spark.pipeline import cc
+
+    rng = random.Random(42)
+    edges = [(0, i) for i in range(1, 40)]                      # hub star
+    base = 1000
+    for c in range(5):                                          # chains
+        n = rng.randint(5, 25)
+        edges += [(base + i, base + i + 1) for i in range(n)]
+        base += 100
+    for c in range(5):                                          # cliques
+        members = [5000 + c * 50 + i for i in range(rng.randint(3, 6))]
+        edges += [(a, b) for i, a in enumerate(members)
+                  for b in members[i + 1:]]
+    edges += [(9001, 9001), (9002, 9002)]                       # self-loops
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = {r["node"]: r["component"]
+            for r in cc.connected_components_star(df).collect()}
+    # labelprop is O(diameter): the 25-node chains need more than its
+    # default 20 rounds (star needs 2 — that asymmetry is the algorithm's
+    # point, and the first run of this test caught exactly that cap)
+    prop = {r["node"]: r["component"]
+            for r in cc.connected_components_labelprop(df, max_iter=60).collect()}
+    assert star == prop
