@@ -122,9 +122,21 @@ def test_cc_star_matches_labelprop_hub_and_chains(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     star = {r["node"]: r["component"]
             for r in cc.connected_components_star(df).collect()}
-    # labelprop is O(diameter): the 25-node chains need more than its
-    # default 20 rounds (star needs 2 — that asymmetry is the algorithm's
-    # point, and the first run of this test caught exactly that cap)
-    prop = {r["node"]: r["component"]
-            for r in cc.connected_components_labelprop(df, max_iter=60).collect()}
-    assert star == prop
+    # ground truth by union-find (NOT labelprop: its default 20 rounds
+    # cannot close the 25-node chains, and it drops self-loop-only nodes
+    # — both gaps surfaced when this test first ran against it)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    assert star == truth
