@@ -62,10 +62,10 @@ def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     from trident_spark.pipeline import extract_stage, kg
-    from trident_spark.pipeline.docs_to_pages import docs_to_pages
+    from trident_spark.pipeline.docs_to_pages import docs_to_page_results
 
-    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
-    raw = extract_stage.raw_triples(extract_stage.extract_pages(pages))
+    raw = extract_stage.raw_triples(
+        docs_to_page_results(_read(spark, sf_dir, "documents")))
     out = kg.skolemize(raw).localCheckpoint(eager=True)
     _DOC_TRIPLES_CACHE[key] = out
     return out
@@ -1256,11 +1256,9 @@ def q_kg_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted text must round-trip byte-identically per url."""
-    from trident_spark.pipeline import extract_stage
-    from trident_spark.pipeline.docs_to_pages import docs_to_pages
+    from trident_spark.pipeline.docs_to_pages import docs_to_page_results
 
-    pages = docs_to_pages(_read(spark, sf_dir, "documents"))
-    results = extract_stage.extract_pages(pages)
+    results = docs_to_page_results(_read(spark, sf_dir, "documents"))
     return results.agg(
         F.count("*").alias("n_pages"),
         F.sum(F.when(F.col("text_ok"), 0).otherwise(1)).alias("n_violations"),
@@ -2242,12 +2240,11 @@ def q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     half = docs.where(F.col("doc_id") % 2 == 0)
     from trident_spark.pipeline import extract_stage, kg
-    from trident_spark.pipeline.docs_to_pages import docs_to_pages
+    from trident_spark.pipeline.docs_to_pages import docs_to_page_results
 
     def triples_of(d):
-        pages = docs_to_pages(d)
         return kg.skolemize(
-            extract_stage.raw_triples(extract_stage.extract_pages(pages))
+            extract_stage.raw_triples(docs_to_page_results(d))
         )
 
     # the full-corpus side is exactly the cached extraction — only the

@@ -72,3 +72,42 @@ def docs_to_pages(docs: DataFrame) -> DataFrame:
     return ensure_parallelism(
         docs.select("doc_id", "text", "lang", "source", "n_chars")
     ).mapInPandas(run, PAGES_SCHEMA)
+
+
+def docs_to_page_results(docs: DataFrame) -> DataFrame:
+    """Fused docs → extraction results: one Arrow hop instead of the
+    docs_to_pages → extract_pages pair, which round-trips every rendered
+    HTML page through the JVM between two adjacent Python stages (guide
+    §4.1: the boundary crossing is the cost; the per-row computations
+    here are IDENTICAL to running the two stages back to back — the page
+    is rendered, text-extracted for the invariant column, and extracted,
+    exactly as before).  Output: extract_stage.PAGE_RESULT_SCHEMA."""
+    from trident_spark.kernels.extract import extract_page, extract_text, parse_html
+    from trident_spark.pipeline.extract_stage import PAGE_RESULT_SCHEMA
+    from trident_spark.util import ensure_parallelism
+
+    def run(iterator):
+        for pdf in iterator:
+            urls, tss, errs, oks, triples_col = [], [], [], [], []
+            for doc_id, _text, lang, source, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"], pdf["n_chars"]
+            ):
+                html = doc_html(int(doc_id), _text, lang, source, int(n_chars))
+                url = f"{DOC_BASE}/doc/{int(doc_id)}"
+                # the invariant column docs_to_pages would have stored
+                page_text = extract_text(parse_html(html))
+                triples, extracted, err = extract_page(html, url)
+                urls.append(url)
+                tss.append(pd.Timestamp("2025-01-01", tz="UTC")
+                           + pd.Timedelta(seconds=int(doc_id)))
+                errs.append(err)
+                oks.append(extracted == page_text)
+                triples_col.append(triples)
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss, "page_error": errs,
+                "text_ok": oks, "triples": triples_col,
+            })
+
+    return ensure_parallelism(
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+    ).mapInPandas(run, PAGE_RESULT_SCHEMA)
