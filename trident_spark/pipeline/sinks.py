@@ -217,7 +217,13 @@ def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
             F.concat(F.lit("<"), col, F.lit(">")))
 
     obj = F.col("obj_lexical")
-    lit = F.concat(F.lit('"'), _escape_literal(obj), F.lit('"'))
+    # stage the escaped literal as its own projection: it appears in three
+    # branches below, and keeping it a named intermediate (CollapseProject
+    # leaves multiply-referenced non-cheap aliases alone) shrinks the
+    # generated code for the render stage to a third
+    staged = frame.withColumn(
+        "_lit", F.concat(F.lit('"'), _escape_literal(obj), F.lit('"')))
+    lit = F.col("_lit")
     rendered_obj = (
         F.when(F.col("obj_kind") == "iri", compact(obj))
         .when(F.col("obj_kind") == "blank", obj)  # label verbatim
@@ -241,7 +247,7 @@ def _subject_blocks(frame: DataFrame, pfx: dict[str, str],
         subj_r, F.lit(" "),
         F.concat_ws(" ;\n    ", F.col("pos")), F.lit(" ."),
     ).alias("block")
-    chunked = subject_chunk_key(frame.select(*sel), keys, chunk_size,
+    chunked = subject_chunk_key(staged.select(*sel), keys, chunk_size,
                                 hash_cols=["po"])
     out = (
         chunked.groupBy(*keys, "_chunk")
