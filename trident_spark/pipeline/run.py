@@ -48,7 +48,13 @@ def build_kg(
     same_as = None
     labels = None
     if alias_dict is not None:
-        same_as = linking.link_entities(skolemized, alias_dict)
+        # materialize the sameAs edges once: they are referenced by the
+        # triples union (hence by every encode_triples projection), by the
+        # CC edge set AND returned to the caller — unmaterialized, the
+        # broadcast-join + window + scoring pipeline re-executes per
+        # reference in the final job
+        same_as = linking.link_entities(
+            skolemized, alias_dict).localCheckpoint(eager=True)
         # sameAs assertions are triples too: union them in so the canonical
         # KB IRIs become dictionary terms before CC rewrites edge ids
         skolemized = skolemized.unionByName(linking.same_as_triples(same_as))
